@@ -1,0 +1,233 @@
+"""Device-resident union-find over orientation-encoded positions.
+
+The reference uses a lock-free CAS union-find shared by threads (uf_rush,
+Anderson-Woll; see /root/reference/src/bidirected_union_find.rs and the
+vendored uf_rush crate).  On TPU the same role is played by a dense
+``parent: int32[capacity]`` tensor and two bulk, *deterministic* operations:
+
+* ``unite_edges(parent, u, v)`` — hook every edge's larger root onto the
+  smaller root with an unordered ``scatter-min`` (reduction-order
+  independent), alternated with pointer-jumping compression until fixpoint.
+  Equivalent transitive closure to uf_rush's per-pair CAS unite, but (a) it
+  consumes millions of pairs per call instead of one, and (b) the converged
+  representative of every component is canonically the *minimum* Pos, so
+  output is independent of device count and batch order — a determinism
+  guarantee the reference does not have (its representative depends on CAS
+  timing; only component membership is stable there).
+
+* ``compress(parent)`` — iterated ``parent = parent[parent]`` until fixpoint;
+  afterwards ``parent[i]`` IS the representative, making every later lookup
+  O(1) gather (this eliminates the reference builder's O(n*m) fallback scan,
+  /root/reference/src/bidirected_builder.rs:96-127).
+
+Capacity convention matches the reference: ``2*max_offset + 2`` slots so raw
+Pos values (offset<<1|orient) index directly (bidirected_union_find.rs:16-24).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def create(capacity: int) -> jnp.ndarray:
+    """Fresh parent array: every Pos is its own representative."""
+    if capacity >= 2**31:
+        raise ValueError("union-find capacity must fit int32")
+    return jnp.arange(capacity, dtype=jnp.int32)
+
+
+@jax.jit
+def compress(parent: jnp.ndarray) -> jnp.ndarray:
+    """Full path compression: parent[i] becomes the root of i, for all i."""
+
+    def cond(state):
+        p, changed = state
+        return changed
+
+    def body(state):
+        p, _ = state
+        p2 = p[p]
+        return p2, jnp.any(p2 != p)
+
+    p, _ = jax.lax.while_loop(cond, body, (parent, jnp.asarray(True)))
+    return p
+
+
+@jax.jit
+def unite_edges(parent: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bulk unite: after this call every (u[i], v[i]) pair is connected.
+
+    Returns a fully-compressed parent array (parent[i] == root of i).
+    Deterministic: roots are component minima regardless of edge order.
+    """
+    u = u.astype(jnp.int32)
+    v = v.astype(jnp.int32)
+
+    def cond(state):
+        p, changed = state
+        return changed
+
+    def body(state):
+        p, _ = state
+        p = compress(p)
+        ru = p[u]
+        rv = p[v]
+        hi = jnp.maximum(ru, rv)
+        lo = jnp.minimum(ru, rv)
+        p2 = p.at[hi].min(lo)
+        return p2, jnp.any(p2 != p)
+
+    p, _ = jax.lax.while_loop(cond, body, (parent, jnp.asarray(u.size > 0)))
+    return compress(p)
+
+
+@jax.jit
+def find(parent: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Representative lookup for arbitrary (possibly uncompressed) parents."""
+
+    def cond(state):
+        r, changed = state
+        return changed
+
+    def body(state):
+        r, _ = state
+        r2 = parent[r]
+        return r2, jnp.any(r2 != r)
+
+    r, _ = jax.lax.while_loop(cond, body, (pos.astype(jnp.int32), jnp.asarray(True)))
+    return r
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _roots_strided(parent: jnp.ndarray, stride: int) -> jnp.ndarray:
+    return compress(parent)[::stride]
+
+
+def count_components(parent, total_length: int | None = None) -> int:
+    """Number of distinct components over forward positions.
+
+    Mirrors SeqRush::count_components (/root/reference/src/seqrush.rs:341-353):
+    forward orientations only (F/R are pre-united in the pipeline).
+    """
+    roots = np.asarray(_roots_strided(parent, 2))
+    if total_length is not None:
+        roots = roots[:total_length]
+    return int(np.unique(roots).size)
+
+
+class BidirectedUnionFind:
+    """Stateful convenience wrapper mirroring the reference API.
+
+    Host-facing: used by tests and the host pipeline.  Internally batches are
+    device ops; ``find``/``same`` trigger compression lazily.
+    """
+
+    def __init__(self, max_offset: int):
+        self.capacity = (max_offset << 1) + 2
+        self.parent = create(self.capacity)
+        self._dirty = False
+
+    # -- bulk (preferred) ----------------------------------------------------
+
+    def unite_batch(self, u, v) -> None:
+        u = jnp.asarray(np.asarray(u, dtype=np.int32))
+        v = jnp.asarray(np.asarray(v, dtype=np.int32))
+        self.parent = unite_edges(self.parent, u, v)
+        self._dirty = False
+
+    def roots(self) -> np.ndarray:
+        if self._dirty:
+            self.parent = compress(self.parent)
+            self._dirty = False
+        return np.asarray(self.parent)
+
+    # -- scalar compatibility surface ---------------------------------------
+
+    def unite(self, pos1: int, pos2: int) -> None:
+        if pos1 != pos2:
+            self.unite_batch(np.array([pos1]), np.array([pos2]))
+
+    def find(self, pos: int) -> int:
+        return int(self.roots()[pos])
+
+    def same(self, pos1: int, pos2: int) -> bool:
+        if pos1 == pos2:
+            return True
+        r = self.roots()
+        return int(r[pos1]) == int(r[pos2])
+
+    def pre_unite_orientations(self, total_length: int) -> None:
+        """Unite (i,F) with (i,R) for every offset (seqrush.rs:324-328)."""
+        i = np.arange(total_length, dtype=np.int64)
+        self.unite_batch(i << 1, (i << 1) | 1)
+
+    def unite_matching_region(
+        self,
+        seq1_offset: int,
+        seq2_offset: int,
+        seq1_local_start: int,
+        seq2_local_start: int,
+        match_length: int,
+        seq1_is_rc: bool,
+        seq1_len: int,
+    ) -> None:
+        """Exact semantics of bidirected_union_find.rs:60-98 (vectorized)."""
+        u, v = match_region_pairs(
+            seq1_offset,
+            seq2_offset,
+            seq1_local_start,
+            seq2_local_start,
+            match_length,
+            seq1_is_rc,
+            seq1_len,
+        )
+        self.unite_batch(u, v)
+
+    def unite_matching_region_seq2_rc(
+        self,
+        seq1_offset: int,
+        seq2_offset: int,
+        seq1_local_start: int,
+        seq2_local_start: int,
+        match_length: int,
+        seq2_is_rc: bool,
+        seq2_len: int,
+    ) -> None:
+        """Exact semantics of bidirected_union_find.rs:103-129 (vectorized)."""
+        i = np.arange(match_length, dtype=np.int64)
+        pos1 = (np.int64(seq1_offset + seq1_local_start) + i) << 1
+        if seq2_is_rc:
+            rc_pos = np.int64(seq2_len - 1) - (np.int64(seq2_local_start) + i)
+            pos2 = ((np.int64(seq2_offset) + rc_pos) << 1) | 1
+        else:
+            pos2 = (np.int64(seq2_offset + seq2_local_start) + i) << 1
+        self.unite_batch(pos1, pos2)
+
+
+def match_region_pairs(
+    seq1_offset: int,
+    seq2_offset: int,
+    seq1_local_start: int,
+    seq2_local_start: int,
+    match_length: int,
+    seq1_is_rc: bool,
+    seq1_len: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Expand one match run into per-base Pos pairs (query-RC transform).
+
+    Forward: (q_off+qs+i, F) <-> (t_off+ts+i, F).
+    Query-RC: RC-local coords map back with fwd = len-1-rc
+              (q_off + len-1-(qs+i), R) <-> (t_off+ts+i, F).
+    """
+    i = np.arange(match_length, dtype=np.int64)
+    pos2 = (np.int64(seq2_offset + seq2_local_start) + i) << 1
+    if seq1_is_rc:
+        fwd_local = np.int64(seq1_len - 1) - (np.int64(seq1_local_start) + i)
+        pos1 = ((np.int64(seq1_offset) + fwd_local) << 1) | 1
+    else:
+        pos1 = (np.int64(seq1_offset + seq1_local_start) + i) << 1
+    return pos1, pos2

@@ -1,0 +1,14 @@
+"""Test configuration: force a virtual 8-device CPU mesh before jax imports.
+
+Tests never require TPU hardware; multi-chip sharding is validated on the
+virtual CPU mesh (the driver separately dry-runs the multichip path).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
