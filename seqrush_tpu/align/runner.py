@@ -1,0 +1,304 @@
+"""Batched alignment runner: orientation pre-check, length-bucketed batching,
+score-cap escalation, and match-run extraction.
+
+This is the TPU-native counterpart of the allwave all-pairs driver
+(/root/reference/src/seqrush.rs:611-757 + the allwave crate): where the
+reference fans pairs out to rayon threads each calling the WFA2 C kernel, we
+pack pairs into padded device batches and run them through the shared-score
+wavefront kernel (ops/wfa.py).  Orientation per pair is decided by a cheap
+single-piece edit-distance wavefront with the '0,1,1,1' orientation scores
+(reference --orientation-scores, seqrush.rs:48-50), forward vs
+reverse-complemented query, smaller score wins (ties -> forward).
+
+Escalation: without a divergence cap the optimal score is unknown, so batches
+run with a modest score budget and unfinished pairs retry with 4x the budget
+up to a guaranteed-completion bound.  With --max-divergence, each pair gets
+the reference's score cap (scores.rs max_score_for_divergence) and pairs that
+exceed it are dropped, like a non-completing WFA2 run.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..pos import encode_bases
+from ..scores import AlignmentScores
+from ..sequences import SequenceSet
+from ..ops import wfa
+from ..ops.wfa import Penalties
+
+
+@dataclass
+class AlignmentResult:
+    query_idx: int
+    target_idx: int
+    is_reverse: bool
+    score: int
+    cigar: list[tuple[int, str]]  # standard ops =,X,I,D (query-consuming I)
+
+    @property
+    def cigar_string(self) -> str:
+        return "".join(f"{n}{op}" for n, op in self.cigar)
+
+
+@dataclass
+class RunnerConfig:
+    scores: AlignmentScores = field(default_factory=AlignmentScores)
+    orientation_scores: AlignmentScores = field(
+        default_factory=lambda: AlignmentScores(0, 1, 1, 1, None, None)
+    )
+    max_divergence: float | None = None
+    band_slack: int = 128  # extra diagonals beyond the length difference
+    initial_smax: int = 256
+    memory_budget_bytes: int = int(1.5e9)
+    verbose: bool = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def _quantized_pack(qs, ts):
+    """pack_batch with quantized shapes so jit recompiles stay bounded:
+    sequence lengths round up to 256 multiples, batch size to a power of 2
+    (dummy zero-length pairs complete at score 0 and cost nothing)."""
+    B = _next_pow2(len(qs))
+    empty = np.zeros(0, dtype=np.uint8)
+    qs = list(qs) + [empty] * (B - len(qs))
+    ts = list(ts) + [empty] * (B - len(ts))
+    lq = _round_up(max((q.size for q in qs), default=1), 256)
+    lt = _round_up(max((t.size for t in ts), default=1), 256)
+    Q = np.stack([np.concatenate([q, np.full(lq + wfa.EXTEND_CHUNK - q.size, wfa.QPAD, np.uint8)]) for q in qs])
+    T = np.stack([np.concatenate([t, np.full(lt + wfa.EXTEND_CHUNK - t.size, wfa.TPAD, np.uint8)]) for t in ts])
+    qlens = np.array([q.size for q in qs], dtype=np.int32)
+    tlens = np.array([t.size for t in ts], dtype=np.int32)
+    return Q, T, qlens, tlens
+
+
+class WfaAligner:
+    """Aligns batches of sequence pairs on device."""
+
+    def __init__(self, seqs: SequenceSet, config: RunnerConfig | None = None):
+        self.seqs = seqs
+        self.cfg = config or RunnerConfig()
+        self.codes = [encode_bases(s.data) for s in seqs.sequences]
+        # RC in code space: complement of code b<4 is 3-b; N(4)/other(5) fixed
+        self.rc_codes = [
+            np.where(c < 4, 3 - c, c)[::-1].copy() for c in self.codes
+        ]
+        self.stats = {"alignments": 0, "dropped": 0, "wall_s": 0.0, "escalations": 0}
+
+    # -- orientation ---------------------------------------------------------
+
+    def choose_orientations(self, pairs: np.ndarray) -> np.ndarray:
+        """bool[P]: True where the query should be reverse-complemented."""
+        osc = self.cfg.orientation_scores
+        P = len(pairs)
+        out = np.zeros(P, dtype=bool)
+        if P == 0:
+            return out
+        # shortcut: identical sequences are forward
+        undecided = []
+        for p, (i, j) in enumerate(pairs):
+            qi, tj = self.codes[i], self.codes[j]
+            if qi.size == tj.size and (qi == tj).all():
+                continue
+            undecided.append(p)
+        if not undecided:
+            return out
+        # batch fwd and rc orientation probes together
+        qs, ts = [], []
+        for p in undecided:
+            i, j = pairs[p]
+            qs.append(self.codes[i])
+            ts.append(self.codes[j])
+            qs.append(self.rc_codes[i])
+            ts.append(self.codes[j])
+        pen = Penalties(osc.mismatch_penalty, osc.gap1_open, osc.gap1_extend)
+        scores = self._score_batches(qs, ts, pen, score_only=True)
+        fwd = scores[0::2]
+        rev = scores[1::2]
+        # unfinished probes (-1) rank worst
+        fwd = np.where(fwd < 0, np.iinfo(np.int32).max, fwd)
+        rev = np.where(rev < 0, np.iinfo(np.int32).max, rev)
+        for k, p in enumerate(undecided):
+            out[p] = rev[k] < fwd[k]
+        return out
+
+    # -- full alignment ------------------------------------------------------
+
+    def align_pairs(self, pairs: np.ndarray) -> list[AlignmentResult]:
+        """Align all (query_idx, target_idx) pairs; returns completed results."""
+        t0 = time.time()
+        if len(pairs) == 0:
+            return []
+        is_rev = self.choose_orientations(pairs)
+        results: list[AlignmentResult] = []
+        sc = self.cfg.scores
+        pen = Penalties(
+            sc.mismatch_penalty,
+            sc.gap1_open,
+            sc.gap1_extend,
+            sc.gap2_open if sc.has_two_piece else None,
+            sc.gap2_extend if sc.has_two_piece else None,
+        )
+
+        # order pairs by max length for bucketing
+        maxlens = np.array(
+            [max(self.codes[i].size, self.codes[j].size) for i, j in pairs]
+        )
+        order = np.argsort(maxlens, kind="stable")
+
+        # initial score budget; escalate unfinished pairs
+        pending = [(int(p), int(self.cfg.initial_smax)) for p in order]
+        while pending:
+            batch, rest = self._take_batch(pending, pairs)
+            pending = rest
+            batch_results, retries = self._run_full_batch(batch, pairs, is_rev, pen)
+            results.extend(batch_results)
+            if retries:
+                self.stats["escalations"] += len(retries)
+            pending.extend(retries)
+
+        self.stats["alignments"] += len(results)
+        self.stats["wall_s"] += time.time() - t0
+        if self.cfg.verbose:
+            print(
+                f"[runner] aligned {len(results)}/{len(pairs)} pairs in "
+                f"{self.stats['wall_s']:.2f}s ({self.stats['dropped']} dropped)"
+            )
+        return results
+
+    # -- internals -----------------------------------------------------------
+
+    def _pair_cap(self, qlen: int, tlen: int) -> int:
+        sc = self.cfg.scores
+        hard = sc.mismatch_penalty * max(qlen, tlen) + sc.gap1_open + sc.gap1_extend * (
+            qlen + tlen
+        )
+        if self.cfg.max_divergence is not None:
+            return min(hard, sc.max_score_for_divergence(max(qlen, tlen), self.cfg.max_divergence))
+        return hard
+
+    def _take_batch(self, pending, pairs):
+        """Slice off a prefix of (pair_idx, smax) jobs fitting the memory budget
+        with a shared smax and band."""
+        first_smax = pending[0][1]
+        same = [job for job in pending if job[1] == first_smax]
+        other = [job for job in pending if job[1] != first_smax]
+        # estimate shapes from the longest pair in the prospective batch
+        batch = []
+        for job in same:
+            p = job[0]
+            i, j = pairs[p]
+            qlen, tlen = self.codes[i].size, self.codes[j].size
+            band = self._band_for(qlen, tlen)
+            trial = batch + [job]
+            max_band = max(self._band_for(self.codes[pairs[b[0]][0]].size, self.codes[pairs[b[0]][1]].size) for b in trial)
+            ndiag = 2 * max_band + 1
+            bytes_needed = len(trial) * 5 * (first_smax + 1) * ndiag * 2
+            if batch and bytes_needed > self.cfg.memory_budget_bytes:
+                other.append(job)
+            else:
+                batch.append(job)
+        return batch, other
+
+    def _band_for(self, qlen: int, tlen: int) -> int:
+        diff = abs(tlen - qlen)
+        return min(_round_up(diff + self.cfg.band_slack, 64), max(qlen, tlen) + 1)
+
+    def _run_full_batch(self, batch, pairs, is_rev, pen):
+        if not batch:
+            return [], []
+        smax = batch[0][1]
+        qs, ts, caps, bands = [], [], [], []
+        for p, _ in batch:
+            i, j = pairs[p]
+            q = self.rc_codes[i] if is_rev[p] else self.codes[i]
+            t = self.codes[j]
+            qs.append(q)
+            ts.append(t)
+            caps.append(self._pair_cap(q.size, t.size))
+            bands.append(self._band_for(q.size, t.size))
+        band = max(bands)
+        Q, T, qlens, tlens = _quantized_pack(qs, ts)
+        caps = caps + [0] * (len(qlens) - len(caps))
+        smax_eff = min(smax, max(caps))
+        scores, hists = wfa.wfa_align_device(
+            Q,
+            T,
+            qlens,
+            tlens,
+            np.minimum(np.array(caps, dtype=np.int32), smax_eff),
+            mismatch=pen.mismatch,
+            o1=pen.gap1_open,
+            e1=pen.gap1_extend,
+            o2=pen.gap2_open if pen.two_piece else -1,
+            e2=pen.gap2_extend if pen.two_piece else -1,
+            smax=smax_eff,
+            band=band,
+            keep_history=True,
+        )
+        scores = np.asarray(scores)[: len(batch)]
+        hists = {k: np.asarray(v) for k, v in hists.items()}
+
+        results, retries = [], []
+        for b, (p, _) in enumerate(batch):
+            i, j = pairs[p]
+            if scores[b] < 0:
+                if smax_eff < caps[b]:
+                    retries.append((p, min(smax * 4, caps[b] + 1)))
+                else:
+                    self.stats["dropped"] += 1  # exceeded divergence cap
+                continue
+            items = wfa.backtrace_pair(
+                {k: v[b] for k, v in hists.items()},
+                int(scores[b]),
+                int(qlens[b]),
+                int(tlens[b]),
+                band,
+                pen,
+            )
+            results.append(
+                AlignmentResult(int(i), int(j), bool(is_rev[p]), int(scores[b]), items)
+            )
+        return results, retries
+
+    def _score_batches(self, qs, ts, pen, score_only=True) -> np.ndarray:
+        """Score-only batched alignment (used by the orientation pre-check)."""
+        out = np.full(len(qs), -1, dtype=np.int64)
+        idx = np.argsort([max(q.size, t.size) for q, t in zip(qs, ts)], kind="stable")
+        CHUNK = 256
+        for lo in range(0, len(idx), CHUNK):
+            sel = idx[lo : lo + CHUNK]
+            bq = [qs[k] for k in sel]
+            bt = [ts[k] for k in sel]
+            Q, T, qlens, tlens = _quantized_pack(bq, bt)
+            maxlen = int(max(qlens.max(), tlens.max()))
+            band = max(self._band_for(int(q.size), int(t.size)) for q, t in zip(bq, bt))
+            smax = _round_up((pen.mismatch + pen.gap1_extend) * maxlen + pen.gap1_open + 1, 256)
+            caps = np.full(len(qlens), smax, dtype=np.int32)
+            scores, _ = wfa.wfa_align_device(
+                Q,
+                T,
+                qlens,
+                tlens,
+                caps,
+                mismatch=pen.mismatch,
+                o1=pen.gap1_open,
+                e1=pen.gap1_extend,
+                o2=-1,
+                e2=-1,
+                smax=smax,
+                band=band,
+                keep_history=False,
+            )
+            out[sel] = np.asarray(scores)[: len(sel)]
+        return out

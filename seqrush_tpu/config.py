@@ -1,0 +1,50 @@
+"""Run configuration — the full flag surface of the reference CLI.
+
+Mirrors the reference ``Args`` struct (/root/reference/src/seqrush.rs:17-152)
+including hidden and deprecated flags, so scripts written against seqrush
+translate directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Args:
+    sequences: str = ""
+    paf: str | None = None
+    output: str = "output.gfa"
+    threads: int = 4  # device/batch parallelism hint (rayon analog)
+    min_match_length: int = 0
+    scores: str = "0,5,8,2,24,1"
+    orientation_scores: str = "0,1,1,1"
+    max_divergence: float | None = None
+    verbose: bool = False
+    test_mode: bool = False  # accepted, vestigial (reference seqrush.rs:60-62)
+    no_compact: bool = False
+    sparsification: str = "none"
+    output_alignments: str | None = None
+    validate_paf: bool = True
+    seqwish_style: bool = False
+    no_sort: bool = False
+    skip_sgd: bool = False
+    skip_groom: bool = False
+    skip_topo: bool = False
+    sgd_iter_max: int = 100
+    sgd_eta_max: float | None = None
+    sgd_theta: float = 0.99
+    sgd_eps: float = 0.01
+    sgd_cooling_start: float = 0.5
+    # deprecated, accepted for compatibility
+    sort_groom_sort: bool = False
+    iterative_groom: int | None = None
+    odgi_style_groom: bool = False
+    sgd_sort: bool = False
+    groom: bool = False
+    aligner: str = "allwave"
+    frequency: int | None = None
+    iterative: bool = False
+    # TPU-specific extensions
+    band_slack: int = 128
+    seed: int = 42

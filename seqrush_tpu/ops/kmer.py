@@ -1,0 +1,117 @@
+"""K-mer sketch distances on the MXU + tree-sampling pair selection.
+
+TPU-native re-design of allwave's knn_graph (used by the reference for
+TreeSampling sparsification and the iterative mode's tree phase,
+/root/reference/src/seqrush.rs:941-947): instead of per-pair k-mer set
+intersections on CPU threads, every sequence is hashed into a dense k-mer
+count sketch and the whole distance matrix is one normalized matmul.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pos import encode_bases
+
+_DIM = 1024  # sketch dimensionality (buckets)
+
+
+def _kmer_codes(codes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling hash codes of all k-mers (skipping any containing non-ACGT)."""
+    if codes.size < k:
+        return np.zeros(0, dtype=np.uint64)
+    valid = codes < 4
+    c = codes.astype(np.uint64)
+    # rolling polynomial hash in uint64 (wraparound is fine for sketching)
+    h = np.zeros(codes.size - k + 1, dtype=np.uint64)
+    ok = np.ones(codes.size - k + 1, dtype=bool)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for i in range(k):
+        h = h * np.uint64(4) + c[i : i + h.size]
+        ok &= valid[i : i + h.size]
+    h = (h * mult) >> np.uint64(32)
+    return h[ok]
+
+
+def kmer_sketches(seq_codes: list[np.ndarray], k: int) -> np.ndarray:
+    """Per-sequence bucketed k-mer count sketches, L2-normalized [n, DIM]."""
+    n = len(seq_codes)
+    out = np.zeros((n, _DIM), dtype=np.float32)
+    for i, codes in enumerate(seq_codes):
+        h = _kmer_codes(codes, k) % _DIM
+        np.add.at(out[i], h.astype(np.int64), 1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+@jax.jit
+def _cosine_distance_matrix(sketches: jnp.ndarray) -> jnp.ndarray:
+    sim = jnp.dot(sketches, sketches.T, preferred_element_type=jnp.float32)
+    return 1.0 - sim
+
+
+def kmer_distance_matrix(seq_codes: list[np.ndarray], k: int) -> np.ndarray:
+    """[n, n] cosine distance over k-mer sketches (one MXU matmul)."""
+    sketches = kmer_sketches(seq_codes, k)
+    return np.asarray(_cosine_distance_matrix(jnp.asarray(sketches)))
+
+
+def tree_sampling_pairs(
+    dist: np.ndarray,
+    k_nearest: int,
+    k_farthest: int,
+    rand_frac: float,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(tree_pairs, random_pairs) — the two phases of TreeSampling.
+
+    tree_pairs: for every sequence its k nearest and k farthest partners by
+    sketch distance, unioned with a minimum spanning tree so the alignment
+    graph is always connected (the reference's tree phase guarantee).
+    random_pairs: rand_frac of the remaining ordered pairs, shuffled.
+    """
+    n = dist.shape[0]
+    if n < 2:
+        z = np.zeros((0, 2), dtype=np.int32)
+        return z, z
+    chosen: set[tuple[int, int]] = set()
+    order = np.argsort(dist + np.eye(n) * 1e9, axis=1, kind="stable")
+    for i in range(n):
+        for j in order[i, : max(k_nearest, 0)]:
+            chosen.add((i, int(j)))
+        if k_farthest > 0:
+            for j in order[i, ::-1][:k_farthest]:
+                if int(j) != i:
+                    chosen.add((i, int(j)))
+    # MST (Prim) for connectivity
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[0] = True
+    best = dist[0].copy()
+    best_from = np.zeros(n, dtype=np.int64)
+    for _ in range(n - 1):
+        cand = np.where(in_tree, np.inf, best)
+        j = int(np.argmin(cand))
+        chosen.add((int(best_from[j]), j))
+        in_tree[j] = True
+        upd = dist[j] < best
+        best = np.where(upd, dist[j], best)
+        best_from = np.where(upd, j, best_from)
+    tree_pairs = np.array(sorted(chosen), dtype=np.int32) if chosen else np.zeros((0, 2), np.int32)
+
+    rng = np.random.default_rng(seed)
+    if rand_frac > 0:
+        ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        mask = ii != jj
+        allp = np.stack([ii[mask], jj[mask]], axis=1)
+        tkey = tree_pairs[:, 0].astype(np.int64) * n + tree_pairs[:, 1]
+        akey = allp[:, 0].astype(np.int64) * n + allp[:, 1]
+        remaining = allp[~np.isin(akey, tkey)]
+        m = int(round(rand_frac * len(remaining)))
+        idx = rng.permutation(len(remaining))[:m]
+        random_pairs = remaining[idx].astype(np.int32)
+    else:
+        random_pairs = np.zeros((0, 2), dtype=np.int32)
+    return tree_pairs, random_pairs

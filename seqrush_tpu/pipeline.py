@@ -1,0 +1,328 @@
+"""Pipeline orchestration: FASTA -> alignment -> union -> graph -> GFA.
+
+The TPU-native counterpart of ``SeqRush`` (/root/reference/src/seqrush.rs:
+298-1132) and ``write_bidirected_gfa`` (/root/reference/src/
+bidirected_gfa_writer.rs:8-167).  Control flow matches the reference:
+
+  load -> pre-unite F/R of every offset -> [PAF replay | batched WFA
+  all-pairs (sparsified) | iterative two-phase] -> bulk unite on device ->
+  induce graph -> compact+renumber (unless --no-compact) -> Ygs (unless
+  --no-sort) -> validate every path reconstructs its input -> GFA 1.0.
+
+The alignment phase streams per-pair match runs into one big Pos-pair edge
+list and performs the transitive closure as a handful of bulk device unites —
+the reference's three hot loops (WFA kernel, CIGAR walk, CAS unite;
+SURVEY.md §3.1) become: device wavefront batch, vectorized run extraction,
+device scatter-min rounds.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .align import cigar as cigar_mod
+from .align.pairs import parse_sparsification, schedule_pairs
+from .align.runner import RunnerConfig, WfaAligner
+from .config import Args
+from .graph.bigraph import BidirectedGraph
+from .graph.builder import build_bidirected_graph
+from .io.paf import alignment_to_paf, parse_paf_line
+from .ops import unionfind as uf
+from .scores import AlignmentScores
+from .sequences import SequenceSet, load_fasta
+
+
+class SeqRushTPU:
+    def __init__(self, seqs: SequenceSet, args: Args | None = None):
+        self.seqs = seqs
+        self.args = args or Args()
+        self.total_length = seqs.total_length
+        self.parent = uf.create((self.total_length << 1) + 2)
+        # pre-unite F/R of every position (reference seqrush.rs:324-328)
+        i = np.arange(self.total_length, dtype=np.int64)
+        self.parent = uf.unite_edges(self.parent, i << 1, (i << 1) | 1)
+        self._edge_u: list[np.ndarray] = []
+        self._edge_v: list[np.ndarray] = []
+        self.stats: dict = {}
+
+    # -- alignment phase -----------------------------------------------------
+
+    def count_components(self) -> int:
+        self._flush_unites()
+        return uf.count_components(self.parent, self.total_length)
+
+    def _queue_unites(self, u: np.ndarray, v: np.ndarray) -> None:
+        if u.size:
+            self._edge_u.append(u)
+            self._edge_v.append(v)
+        # flush periodically to bound host memory
+        if sum(a.size for a in self._edge_u) > 50_000_000:
+            self._flush_unites()
+
+    def _flush_unites(self) -> None:
+        if not self._edge_u:
+            return
+        u = np.concatenate(self._edge_u)
+        v = np.concatenate(self._edge_v)
+        self._edge_u, self._edge_v = [], []
+        self.parent = uf.unite_edges(self.parent, u, v)
+
+    def _result_to_unites(self, res, min_match_length: int) -> None:
+        """Match runs of one alignment -> queued Pos pairs."""
+        runs = [
+            (q, t, n)
+            for q, t, n in _runs_of(res.cigar)
+            if n >= max(min_match_length, 1)
+        ]
+        if not runs:
+            return
+        qseq = self.seqs[res.query_idx]
+        tseq = self.seqs[res.target_idx]
+        u, v = cigar_mod.runs_to_pos_pairs(
+            runs, qseq.offset, tseq.offset, res.is_reverse, len(qseq.data)
+        )
+        self._queue_unites(u, v)
+
+    def align_and_unite(self) -> None:
+        args = self.args
+        if args.paf:
+            self._align_from_paf(args.paf)
+            return
+        scores = AlignmentScores.parse(args.scores)
+        osc = AlignmentScores.parse_orientation(args.orientation_scores)
+        cfg = RunnerConfig(
+            scores=scores,
+            orientation_scores=osc,
+            max_divergence=args.max_divergence,
+            band_slack=args.band_slack,
+            verbose=args.verbose,
+        )
+        aligner = WfaAligner(self.seqs, cfg)
+        n = len(self.seqs)
+
+        spars = parse_sparsification(args.sparsification)
+        kdist = None
+        if spars.kind == "tree" or args.iterative:
+            from .ops.kmer import kmer_distance_matrix
+
+            kdist = kmer_distance_matrix(aligner.codes, spars.kmer_size or 16)
+
+        if args.iterative:
+            self._align_iterative(aligner, kdist, spars)
+        else:
+            pairs = schedule_pairs(n, spars, seed=args.seed, kmer_distances=kdist)
+            if args.verbose:
+                print(f"Total sequence pairs: {len(pairs)} (sparsification: {spars.kind})")
+            results = aligner.align_pairs(pairs)
+            self._paf_out(results)
+            for res in results:
+                self._result_to_unites(res, args.min_match_length)
+        self._flush_unites()
+        self.stats["aligner"] = aligner.stats
+
+    def _align_iterative(self, aligner: WfaAligner, kdist, spars) -> None:
+        """Two-phase iterative alignment with stabilization detection
+        (reference seqrush.rs:867-1132): tree pairs first (connectivity),
+        then random pairs with component-count early stopping."""
+        from .ops.kmer import tree_sampling_pairs
+
+        k_near = spars.k_nearest or 3
+        k_far = spars.k_farthest or 1
+        rand_frac = spars.rand_frac if spars.rand_frac > 0 else 1.0
+        tree_pairs, random_pairs = tree_sampling_pairs(
+            kdist, k_near, k_far, rand_frac, seed=self.args.seed
+        )
+        if self.args.verbose:
+            print(f"[iterative] phase 1: {len(tree_pairs)} tree pairs")
+        results = aligner.align_pairs(tree_pairs)
+        all_results = list(results)
+        for res in results:
+            self._result_to_unites(res, self.args.min_match_length)
+        components = self.count_components()
+        if self.args.verbose:
+            print(f"[iterative] after tree phase: {components} components")
+
+        CHECK_INTERVAL = 10  # pairs between component counts (reference :1038)
+        STABILITY_THRESHOLD = 10  # unchanged counts before stopping
+        stable = 0
+        prev = components
+        # batch the random phase in CHECK_INTERVAL chunks
+        for lo in range(0, len(random_pairs), CHECK_INTERVAL):
+            chunk = random_pairs[lo : lo + CHECK_INTERVAL]
+            results = aligner.align_pairs(chunk)
+            all_results.extend(results)
+            for res in results:
+                self._result_to_unites(res, self.args.min_match_length)
+            comp = self.count_components()
+            if comp == prev:
+                stable += 1
+                if stable >= STABILITY_THRESHOLD:
+                    if self.args.verbose:
+                        print(f"[iterative] stabilized after {lo + len(chunk)} random pairs")
+                    break
+            else:
+                stable = 0
+            prev = comp
+        self._paf_out(all_results)
+
+    def _paf_out(self, results) -> None:
+        if not self.args.output_alignments:
+            return
+        with open(self.args.output_alignments, "w") as fh:
+            for res in results:
+                fh.write(alignment_to_paf(res, self.seqs).to_line() + "\n")
+
+    def _align_from_paf(self, paf_path: str) -> None:
+        """Rebuild unites from a PAF file (reference seqrush.rs:510-609)."""
+        name_to_idx = self.seqs.name_to_index()
+        count = 0
+        with open(paf_path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = parse_paf_line(line)
+                if rec is None:
+                    print(f"Warning: Invalid PAF line: {line.rstrip()}", file=sys.stderr)
+                    continue
+                qname, q_start, _q_end, strand, tname, t_start, _t_end, cig = rec
+                qi = name_to_idx.get(qname)
+                ti = name_to_idx.get(tname)
+                if qi is None or ti is None:
+                    print(
+                        f"Warning: Unknown sequence name(s) in PAF: {qname} or {tname}",
+                        file=sys.stderr,
+                    )
+                    continue
+                items = cigar_mod.parse_cigar(cig)
+                qseq, tseq = self.seqs[qi], self.seqs[ti]
+                runs = cigar_mod.match_runs_from_cigar(
+                    items,
+                    qseq.data,
+                    tseq.data,
+                    strand == "-",
+                    self.args.min_match_length,
+                    q_start,
+                    t_start,
+                    validate=self.args.validate_paf,
+                )
+                u, v = cigar_mod.runs_to_pos_pairs(
+                    runs, qseq.offset, tseq.offset, strand == "-", len(qseq.data)
+                )
+                self._queue_unites(u, v)
+                count += 1
+        self._flush_unites()
+        if self.args.verbose:
+            print(f"Processed {count} alignments from PAF file")
+
+    # -- graph phase ---------------------------------------------------------
+
+    def build_graph(self) -> BidirectedGraph:
+        self._flush_unites()
+        roots = np.asarray(self.parent)
+        graph = build_bidirected_graph(self.seqs, roots, verbose=self.args.verbose)
+        graph.verify_path_edges()
+        return graph
+
+    def write_gfa(self, graph: BidirectedGraph | None = None) -> BidirectedGraph:
+        args = self.args
+        t0 = time.time()
+        if graph is None:
+            graph = self.build_graph()
+
+        if not args.no_compact:
+            from .graph.compact import compact
+
+            before = graph.node_count()
+            compact(graph)
+            graph.renumber_nodes_sequentially()
+            if args.verbose:
+                print(f"Compacted from {before} to {graph.node_count()} nodes")
+
+        if not args.no_sort and graph.node_count() > 0:
+            from .layout.ygs import YgsParams, ygs_sort
+
+            params = YgsParams.from_graph(graph, verbose=args.verbose)
+            params.iter_max = args.sgd_iter_max
+            params.theta = args.sgd_theta
+            params.eps = args.sgd_eps
+            params.cooling_start = args.sgd_cooling_start
+            if args.sgd_eta_max is not None:
+                params.eta_max = args.sgd_eta_max
+            ygs_sort(
+                graph,
+                params,
+                use_sgd=not args.skip_sgd,
+                use_groom=not args.skip_groom,
+                use_topo=not args.skip_topo,
+            )
+
+        errors = self.validate_paths_match_sequences(graph)
+        if errors:
+            raise RuntimeError("Path validation failed!\n" + "\n".join(errors))
+
+        with open(args.output, "w") as fh:
+            graph.write_gfa(fh)
+        self.stats["write_wall_s"] = time.time() - t0
+        if args.verbose:
+            print(
+                f"Graph written to {args.output}: {graph.node_count()} nodes, "
+                f"{len(graph.edges)} edges, {len(graph.paths)} paths"
+            )
+        return graph
+
+    def validate_paths_match_sequences(self, graph: BidirectedGraph) -> list[str]:
+        """Golden invariant: every path reconstructs its input sequence
+        byte-for-byte (reference seqrush.rs:1741-1798)."""
+        errors = []
+        by_name = {p.name: p for p in graph.paths}
+        for seq in self.seqs.sequences:
+            path = by_name.get(seq.id)
+            if path is None:
+                errors.append(f"Path '{seq.id}' not found in graph")
+                continue
+            got = graph.path_sequence(path)
+            if got.size != seq.data.size or not (got == seq.data).all():
+                diff = "length mismatch"
+                m = min(got.size, seq.data.size)
+                neq = np.nonzero(got[:m] != seq.data[:m])[0]
+                if neq.size:
+                    i = int(neq[0])
+                    diff = (
+                        f"first difference at position {i}: "
+                        f"'{chr(seq.data[i])}' (expected) vs '{chr(got[i])}' (got)"
+                    )
+                errors.append(
+                    f"Path '{seq.id}' does not match original sequence "
+                    f"({seq.data.size} bp vs {got.size} bp; {diff})"
+                )
+        return errors
+
+
+def _runs_of(cigar_items):
+    q = t = 0
+    for n, op in cigar_items:
+        if op == "=":
+            yield (q, t, n)
+            q += n
+            t += n
+        elif op in ("M", "X"):
+            q += n
+            t += n
+        elif op == "I":
+            q += n
+        elif op == "D":
+            t += n
+
+
+def run_seqrush(args: Args) -> BidirectedGraph:
+    """Top-level entry point (reference seqrush.rs:1839-1853)."""
+    seqs = load_fasta(args.sequences)
+    if args.verbose:
+        print(f"Loaded {len(seqs)} sequences")
+    sr = SeqRushTPU(seqs, args)
+    sr.align_and_unite()
+    graph = sr.write_gfa()
+    return graph
