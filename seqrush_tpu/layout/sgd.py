@@ -1,0 +1,260 @@
+"""Path-guided stochastic gradient descent layout (the 'Y' phase of Ygs).
+
+TPU-native re-expression of ODGI's path_linear_sgd as ported by the reference
+(/root/reference/src/path_sgd.rs).  The reference runs N CPU threads doing
+one term update at a time against an atomic f64 position array (Hogwild);
+here each SGD "tick" samples a whole vector of term pairs with jax.random,
+computes their displacement updates in parallel, and applies them with an
+unordered ``scatter-add`` — the device analog of Hogwild's racy writes, but
+deterministic for a fixed seed.
+
+Parameter semantics preserved exactly (path_sgd.rs:202-359, 552-573):
+  * learning-rate schedule eta(t) = eta_max * exp(-lambda * |t - t_max|),
+    lambda = ln(eta_max/eta_min)/(iter_max-1), eta_min = eps;
+  * per-iteration term budget min_term_updates = sum of path step counts;
+  * "dirty Zipfian" second-step sampling over jump distances, theta = 0.99,
+    switching to 0.001 in the cooling phase (after cooling_start*iter_max);
+  * 50% uniform-across-path / 50% Zipfian-jump before cooling, always
+    Zipfian during cooling;
+  * term weight w = 1/term_dist, mu = min(eta*w, 1), displacement
+    mu*(|dx|-d)/2 applied symmetrically.
+
+The Zipfian is sampled exactly by inverse CDF over precomputed partial
+harmonic sums (the reference quantizes the normalizer for large spaces;
+we keep the exact table — pure quality upside).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.bigraph import BidirectedGraph
+
+
+@dataclass
+class PathSGDParams:
+    iter_max: int = 100
+    iter_with_max_learning_rate: int = 0
+    min_term_updates: int = 0  # derived from graph when 0
+    delta: float = 0.0
+    eps: float = 0.01
+    eta_max: float = 0.0  # derived: (max path step count)^2
+    theta: float = 0.99
+    space: int = 0  # derived: max path length (bp)
+    space_max: int = 100
+    space_quantization_step: int = 100
+    cooling_start: float = 0.5
+    nthreads: int = 1  # accepted for parity; device parallelism is implicit
+    progress: bool = False
+    seed: int = 9399220  # reference worker seed base (path_sgd.rs:381)
+
+
+@dataclass
+class PathIndex:
+    """Flat step arrays (reference PathIndex, path_sgd.rs:15-117)."""
+
+    step_handle: np.ndarray  # int64 [S]
+    step_pos: np.ndarray  # int64 [S] bp position within path
+    step_path: np.ndarray  # int32 [S]
+    step_rank: np.ndarray  # int32 [S]
+    path_first: np.ndarray  # int32 [P]
+    path_count: np.ndarray  # int32 [P]
+    path_len: np.ndarray  # int64 [P]
+
+    @staticmethod
+    def from_graph(graph: BidirectedGraph) -> "PathIndex":
+        node_len = {nid: len(s) for nid, s in graph.nodes.items()}
+        handles, poss, pids, ranks = [], [], [], []
+        firsts, counts, plens = [], [], []
+        for pid, path in enumerate(graph.paths):
+            firsts.append(len(handles))
+            counts.append(path.steps.size)
+            pos = 0
+            for rank, h in enumerate(path.steps):
+                handles.append(int(h))
+                poss.append(pos)
+                pids.append(pid)
+                ranks.append(rank)
+                pos += node_len[int(h) >> 1]
+            plens.append(pos)
+        return PathIndex(
+            np.array(handles, dtype=np.int64),
+            np.array(poss, dtype=np.int64),
+            np.array(pids, dtype=np.int32),
+            np.array(ranks, dtype=np.int32),
+            np.array(firsts, dtype=np.int32),
+            np.array(counts, dtype=np.int32),
+            np.array(plens, dtype=np.int64),
+        )
+
+    @property
+    def total_steps(self) -> int:
+        return self.step_handle.size
+
+
+def sgd_schedule(w_min, w_max, iter_max, iter_with_max_lr, eps) -> np.ndarray:
+    """Exact port of path_linear_sgd_schedule (path_sgd.rs:552-573)."""
+    eta_max = 1.0 / w_min
+    eta_min = eps / w_max
+    lam = np.log(eta_max / eta_min) / (iter_max - 1.0)
+    t = np.arange(iter_max + 1, dtype=np.float64)
+    return eta_max * np.exp(-lam * np.abs(t - iter_with_max_lr))
+
+
+@functools.partial(jax.jit, static_argnames=("n_sub", "u_per_sub"))
+def _sgd_run(
+    x0,
+    node_of_step,
+    step_pos,
+    step_path,
+    step_rank,
+    path_first,
+    path_count,
+    Hmain,
+    Hcool,
+    etas,
+    first_cooling_iter,
+    seed,
+    n_sub: int,
+    u_per_sub: int,
+):
+    S = step_pos.shape[0]
+
+    def zipf_sample(key, H, jump_space):
+        """Inverse-CDF Zipfian over 1..jump_space (exact partial sums)."""
+        u = jax.random.uniform(key, jump_space.shape, dtype=jnp.float32)
+        total = H[jump_space]
+        target = u * total
+        z = jnp.searchsorted(H, target, side="left")
+        return jnp.clip(z, 1, jnp.maximum(jump_space, 1))
+
+    def tick(x, args):
+        it, sub, key = args
+        eta = etas[jnp.minimum(it, etas.shape[0] - 1)]
+        cooling = it >= first_cooling_iter
+        H = jnp.where(cooling, Hcool, Hmain)
+
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        step_idx = jax.random.randint(k1, (u_per_sub,), 0, S)
+        pid = step_path[step_idx]
+        cnt = path_count[pid]
+        rank_a = step_rank[step_idx]
+
+        use_zipf = cooling | (jax.random.randint(k2, (u_per_sub,), 0, 2) == 1)
+        go_back = (rank_a > 0) & (
+            (jax.random.randint(k3, (u_per_sub,), 0, 2) == 1) | (rank_a == cnt - 1)
+        )
+        space_back = jnp.minimum(Hmain.shape[0] - 1, rank_a)
+        space_fwd = jnp.minimum(Hmain.shape[0] - 1, cnt - rank_a - 1)
+        jump_space = jnp.where(go_back, space_back, space_fwd).astype(jnp.int32)
+        jump_space = jnp.maximum(jump_space, 1)
+        z = zipf_sample(k4, H, jump_space)
+        rank_b_zipf = jnp.where(
+            go_back,
+            jnp.maximum(rank_a - z, 0),
+            jnp.minimum(rank_a + z, cnt - 1),
+        )
+        rank_b_unif = jax.random.randint(k5, (u_per_sub,), 0, jnp.maximum(cnt, 1))
+        rank_b = jnp.where(use_zipf, rank_b_zipf, rank_b_unif).astype(jnp.int32)
+
+        sa = step_idx
+        sb = path_first[pid] + rank_b
+        valid = (cnt > 1) & (rank_a != rank_b)
+
+        pos_a = step_pos[sa].astype(jnp.float32)
+        pos_b = step_pos[sb].astype(jnp.float32)
+        term_dist = jnp.abs(pos_a - pos_b)
+        valid &= term_dist > 0
+        term_dist = jnp.maximum(term_dist, 1e-9)
+
+        w = 1.0 / term_dist
+        mu = jnp.minimum(eta.astype(jnp.float32) * w, 1.0)
+
+        i = node_of_step[sa]
+        j = node_of_step[sb]
+        dx = x[i] - x[j]
+        dx = jnp.where(dx == 0.0, 1e-9, dx)
+        mag = jnp.abs(dx)
+        delta_update = mu * (mag - term_dist) / 2.0
+        r_x = (delta_update / mag) * dx
+        r_x = jnp.where(valid, r_x, 0.0)
+
+        x = x.at[i].add(-r_x)
+        x = x.at[j].add(r_x)
+        return x, None
+
+    iters = jnp.repeat(jnp.arange(etas.shape[0] - 1), n_sub)
+    subs = jnp.tile(jnp.arange(n_sub), etas.shape[0] - 1)
+    keys = jax.random.split(jax.random.PRNGKey(seed), iters.shape[0])
+    x, _ = jax.lax.scan(tick, x0, (iters, subs, keys))
+    return x
+
+
+def path_linear_sgd(graph: BidirectedGraph, params: PathSGDParams) -> dict[int, float]:
+    """Run PG-SGD; returns node id -> 1D layout position."""
+    if not graph.nodes:
+        return {}
+    index = PathIndex.from_graph(graph)
+    if not (index.path_count > 1).any():
+        return {}
+
+    node_ids = sorted(graph.nodes)
+    id_to_idx = {nid: k for k, nid in enumerate(node_ids)}
+    # initial positions: cumulative length in node-id order (path_sgd.rs:229-249)
+    lens = np.array([len(graph.nodes[nid]) for nid in node_ids], dtype=np.float64)
+    x0 = np.concatenate([[0.0], np.cumsum(lens)[:-1]]).astype(np.float32)
+
+    mtu = params.min_term_updates or int(index.path_count.sum())
+    eta_max = params.eta_max or float(int(index.path_count.max()) ** 2)
+    space = params.space or int(index.path_len.max())
+    space = max(space, 1)
+
+    etas = sgd_schedule(
+        1.0 / eta_max, 1.0, params.iter_max, params.iter_with_max_learning_rate, params.eps
+    )
+    first_cooling = int(np.floor(params.cooling_start * params.iter_max))
+
+    # exact partial harmonic sums H[i] = sum_{1..i} i^-theta (H[0] = 0)
+    i_arr = np.arange(1, space + 1, dtype=np.float64)
+    Hmain = np.concatenate([[0.0], np.cumsum(i_arr ** (-params.theta))]).astype(np.float32)
+    Hcool = np.concatenate([[0.0], np.cumsum(i_arr ** (-0.001))]).astype(np.float32)
+
+    n_sub = 8
+    u_per_sub = max(1, -(-mtu // n_sub))
+
+    node_of_step = np.array(
+        [id_to_idx[int(h) >> 1] for h in index.step_handle], dtype=np.int32
+    )
+
+    x = _sgd_run(
+        jnp.asarray(x0),
+        jnp.asarray(node_of_step),
+        jnp.asarray(index.step_pos),
+        jnp.asarray(index.step_path),
+        jnp.asarray(index.step_rank),
+        jnp.asarray(index.path_first),
+        jnp.asarray(index.path_count),
+        jnp.asarray(Hmain),
+        jnp.asarray(Hcool),
+        jnp.asarray(etas.astype(np.float32)),
+        jnp.asarray(first_cooling, dtype=jnp.int32),
+        params.seed,
+        n_sub=n_sub,
+        u_per_sub=int(u_per_sub),
+    )
+    x = np.asarray(x)
+    return {nid: float(x[k]) for k, nid in enumerate(node_ids)}
+
+
+def path_sgd_sort(graph: BidirectedGraph, params: PathSGDParams) -> list[int]:
+    """Handles (forward) ordered by final SGD position (path_sgd.rs:576-600)."""
+    positions = path_linear_sgd(graph, params)
+    if not positions:
+        return [nid << 1 for nid in sorted(graph.nodes)]
+    order = sorted(positions.items(), key=lambda kv: (kv[1], kv[0]))
+    return [nid << 1 for nid, _ in order]

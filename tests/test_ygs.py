@@ -1,0 +1,145 @@
+"""Ygs pipeline tests: toposort determinism/invariants, groom behavior, SGD
+ordering quality — mirroring reference suites (src/ygs_sort.rs tests,
+tests/test_topological_sort.rs, reference groom semantics)."""
+
+import numpy as np
+
+from seqrush_tpu.graph.bigraph import BidirectedGraph
+from seqrush_tpu.graph.groom import apply_grooming, groom_order
+from seqrush_tpu.graph.toposort import exact_odgi_topological_order
+from seqrush_tpu.layout.sgd import PathSGDParams, path_sgd_sort
+from seqrush_tpu.layout.ygs import YgsParams, ygs_sort
+
+
+def H(nid, rev=False):
+    return (nid << 1) | int(rev)
+
+
+def simple_graph():
+    g = BidirectedGraph()
+    g.add_node(1, b"AAAA")
+    g.add_node(2, b"CCCC")
+    g.add_node(3, b"GGGG")
+    g.add_edge(H(1), H(2))
+    g.add_edge(H(2), H(3))
+    g.add_path("p", np.array([H(1), H(2), H(3)], dtype=np.int64))
+    return g
+
+
+def path_seqs(g):
+    return {p.name: g.path_sequence(p).tobytes() for p in g.paths}
+
+
+def test_ygs_params_from_graph():
+    g = simple_graph()
+    p = YgsParams.from_graph(g)
+    assert p.min_term_updates == 3  # sum of path step counts
+    assert p.eta_max == 9.0  # (max step count)^2
+    assert p.space == 12  # max path length bp
+
+
+def test_toposort_sequential_ids():
+    """After sort node ids are 1..N (tests/test_topological_sort.rs:6)."""
+    g = BidirectedGraph()
+    for i, nid in enumerate([7, 3, 9], start=0):
+        g.add_node(nid, b"A")
+    g.add_edge(H(9), H(3))
+    g.add_edge(H(3), H(7))
+    g.add_path("p", np.array([H(9), H(3), H(7)], dtype=np.int64))
+    before = path_seqs(g)
+    order = exact_odgi_topological_order(g)
+    g.apply_ordering(order)
+    assert sorted(g.nodes) == [1, 2, 3]
+    assert path_seqs(g) == before
+    # 9 is the head -> becomes node 1; chain follows
+    assert [int(h) for h in g.paths[0].steps] == [H(1), H(2), H(3)]
+
+
+def test_toposort_with_cycle():
+    g = BidirectedGraph()
+    for nid in (1, 2, 3):
+        g.add_node(nid, b"A")
+    g.add_edge(H(1), H(2))
+    g.add_edge(H(2), H(3))
+    g.add_edge(H(3), H(1))  # cycle
+    g.add_path("p", np.array([H(1), H(2), H(3)], dtype=np.int64))
+    order = exact_odgi_topological_order(g)
+    assert len(order) == 3
+    assert sorted(h >> 1 for h in order) == [1, 2, 3]
+
+
+def test_toposort_deterministic():
+    g1, g2 = simple_graph(), simple_graph()
+    assert exact_odgi_topological_order(g1) == exact_odgi_topological_order(g2)
+
+
+def test_groom_flips_reverse_reached_nodes():
+    # 1+ -> 2- : node 2 first reached via reverse => flipped
+    g = BidirectedGraph()
+    g.add_node(1, b"AC")
+    g.add_node(2, b"AC")
+    g.add_edge(H(1), H(2, True))
+    g.add_path("p", np.array([H(1), H(2, True)], dtype=np.int64))
+    before = path_seqs(g)
+    order = groom_order(g)
+    flipped = {h >> 1 for h in order if h & 1}
+    assert flipped == {2}
+    apply_grooming(g, order)
+    assert path_seqs(g) == before  # sequences preserved under flips
+    # after grooming the path traverses 2 forward
+    assert [int(h) for h in g.paths[0].steps] == [H(1), H(2)]
+    assert g.nodes[2].tobytes() == b"GT"  # reverse complement applied
+
+
+def test_groom_forward_graph_unchanged():
+    g = simple_graph()
+    order = groom_order(g)
+    assert all((h & 1) == 0 for h in order)
+
+
+def test_sgd_orders_linear_path():
+    """A linear path should come out in path order after SGD."""
+    rng = np.random.default_rng(0)
+    g = BidirectedGraph()
+    n = 20
+    perm = rng.permutation(n) + 1
+    for nid in perm:
+        g.add_node(int(nid), b"ACGT")
+    steps = np.array([H(int(x)) for x in perm], dtype=np.int64)
+    g.add_path("p", steps)
+    g.verify_path_edges()
+    params = YgsParams.from_graph(g).to_sgd()
+    order = path_sgd_sort(g, params)
+    got = [h >> 1 for h in order]
+    want = [int(x) for x in perm]
+    # SGD is stochastic; require exact linear recovery for this easy case
+    assert got == want or got == want[::-1]
+
+
+def test_full_ygs_preserves_paths():
+    g = simple_graph()
+    before = path_seqs(g)
+    ygs_sort(g, YgsParams.from_graph(g))
+    assert path_seqs(g) == before
+    assert sorted(g.nodes) == [1, 2, 3]
+
+
+def test_ygs_e2e_pipeline():
+    """Full pipeline with sorting enabled keeps the golden invariant."""
+    from seqrush_tpu.config import Args
+    from seqrush_tpu.pipeline import SeqRushTPU
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(42)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=180)].tobytes()
+    alt = bytearray(base)
+    alt[60] = ord("A") if alt[60] != ord("A") else ord("C")
+    seqs = make_sequence_set([("ref", base), ("alt", bytes(alt))])
+    sr = SeqRushTPU(seqs, Args(output="/tmp/ygs.gfa"))
+    sr.align_and_unite()
+    graph = sr.write_gfa()
+    assert sr.validate_paths_match_sequences(graph) == []
+    # node ids sequential from 1 after Ygs
+    ids = sorted(graph.nodes)
+    assert ids == list(range(1, len(ids) + 1))
