@@ -1,0 +1,102 @@
+"""Benchmark: pairwise alignments/sec on an HLA-like all-pairs workload.
+
+Runs on whatever JAX backend the environment provides (the driver runs this
+on a real TPU chip).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "alignments/s", "vs_baseline": N}
+
+Workload: 9 synthetic HLA-like sequences (~3.3 kb, ~2% SNPs + indels, one
+inversion-carrying sample), all ordered pairs (n*(n-1) = 72) with the
+reference's default scoring 0,5,8,2,24,1 — the configuration of
+BASELINE.md's "HLA-zoo single gene" row.  The measured phase is what the
+reference parallelizes with 64 rayon threads: orientation pre-check + full
+two-piece WFA + CIGAR/match-run extraction (SURVEY.md §3.1 hot loops 1-2).
+
+vs_baseline: BASELINE.md publishes no reference throughput (the reference
+repo has no benchmarks).  We use an explicit estimate for 64-thread Rust
+SeqRush on this workload: ~2 ms/pair/thread for WFA2 + CIGAR walk + unite at
+3.3 kb / ~2% divergence => ~2000 pairs/s pool throughput.  The sensitivity
+of vs_baseline is therefore the estimate's; the absolute alignments/s value
+is the durable number.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ALIGNMENTS_PER_S = 2000.0  # estimated 64-thread Rust SeqRush
+
+
+def synth_hla(n_seqs=9, length=3300, seed=7):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=length)]
+    out = [("gene*00", base.tobytes())]
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    for k in range(1, n_seqs):
+        s = bytearray(base.tobytes())
+        # ~2% SNPs
+        for pos in rng.integers(0, len(s), size=int(0.02 * len(s))):
+            s[pos] = bases[rng.integers(0, 4)]
+        # a few indels
+        for _ in range(rng.integers(2, 6)):
+            pos = int(rng.integers(0, len(s) - 50))
+            ln = int(rng.integers(1, 30))
+            if rng.random() < 0.5:
+                del s[pos : pos + ln]
+            else:
+                ins = bases[rng.integers(0, 4, size=ln)].tobytes()
+                s[pos:pos] = ins
+        if k == n_seqs - 1:
+            # an inversion-carrying sample: middle third reverse-complemented
+            a, b = len(s) // 3, 2 * len(s) // 3
+            s[a:b] = bytes(s[a:b]).translate(comp)[::-1]
+        out.append((f"gene*{k:02d}", bytes(s)))
+    return out
+
+
+def main():
+    from seqrush_tpu.align.pairs import all_ordered_pairs
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+    from seqrush_tpu.sequences import make_sequence_set
+
+    seqs = make_sequence_set(synth_hla())
+    n = len(seqs)
+    pairs = all_ordered_pairs(n)
+
+    cfg = RunnerConfig(scores=AlignmentScores.parse("0,5,8,2,24,1"))
+
+    # warmup: compile every (smax, band, bucket) shape on a subset
+    warm = WfaAligner(seqs, cfg)
+    warm.align_pairs(pairs)
+
+    # measured run (jit caches are warm; this is steady-state throughput)
+    aligner = WfaAligner(seqs, cfg)
+    t0 = time.time()
+    results = aligner.align_pairs(pairs)
+    dt = time.time() - t0
+
+    completed = len(results)
+    value = completed / dt
+    print(
+        f"[bench] {completed}/{len(pairs)} pairs in {dt:.3f}s "
+        f"({aligner.stats['escalations']} escalations, "
+        f"{aligner.stats['dropped']} dropped)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "hla_allpairs_wfa_alignments_per_s",
+                "value": round(value, 2),
+                "unit": "alignments/s",
+                "vs_baseline": round(value / BASELINE_ALIGNMENTS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

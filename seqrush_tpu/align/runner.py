@@ -98,22 +98,42 @@ class WfaAligner:
     # -- orientation ---------------------------------------------------------
 
     def choose_orientations(self, pairs: np.ndarray) -> np.ndarray:
-        """bool[P]: True where the query should be reverse-complemented."""
+        """bool[P]: True where the query should be reverse-complemented.
+
+        Two-stage: a mash-style k-mer sketch comparison (one device matmul
+        over fwd and RC sketches) decides clear cases; only ambiguous pairs
+        fall back to the reference's edit-distance wavefront probe
+        ('0,1,1,1' orientation scores), score-capped since only the
+        comparison matters, not the exact distance.
+        """
         osc = self.cfg.orientation_scores
         P = len(pairs)
         out = np.zeros(P, dtype=bool)
         if P == 0:
             return out
-        # shortcut: identical sequences are forward
-        undecided = []
+        # stage 0: identical sequences are forward
+        maybe = []
         for p, (i, j) in enumerate(pairs):
             qi, tj = self.codes[i], self.codes[j]
             if qi.size == tj.size and (qi == tj).all():
                 continue
-            undecided.append(p)
+            maybe.append(p)
+        if not maybe:
+            return out
+        # stage 1: k-mer sketch orientation (fwd vs RC cosine distance)
+        MARGIN = 0.05
+        d_fwd, d_rc = self._sketch_orientation_distances(pairs)
+        undecided = []
+        for p in maybe:
+            if d_rc[p] < d_fwd[p] - MARGIN:
+                out[p] = True
+            elif d_fwd[p] < d_rc[p] - MARGIN:
+                out[p] = False
+            else:
+                undecided.append(p)
         if not undecided:
             return out
-        # batch fwd and rc orientation probes together
+        # stage 2: capped edit-distance wavefront probe, both orientations
         qs, ts = [], []
         for p in undecided:
             i, j = pairs[p]
@@ -131,6 +151,25 @@ class WfaAligner:
         for k, p in enumerate(undecided):
             out[p] = rev[k] < fwd[k]
         return out
+
+    def _sketch_orientation_distances(self, pairs: np.ndarray):
+        """Cosine sketch distances (q fwd vs t, q RC vs t) for every pair."""
+        from ..ops.kmer import kmer_sketches
+
+        if not hasattr(self, "_sk_fwd"):
+            k = 15
+            self._sk_fwd = kmer_sketches(self.codes, k)
+            self._sk_rc = kmer_sketches(self.rc_codes, k)
+        qf = self._sk_fwd[pairs[:, 0]]
+        qr = self._sk_rc[pairs[:, 0]]
+        t = self._sk_fwd[pairs[:, 1]]
+        d_fwd_sel = 1.0 - np.einsum("pd,pd->p", qf, t)
+        d_rc_sel = 1.0 - np.einsum("pd,pd->p", qr, t)
+        d_fwd = np.ones(len(pairs))
+        d_rc = np.ones(len(pairs))
+        d_fwd[:] = d_fwd_sel
+        d_rc[:] = d_rc_sel
+        return d_fwd, d_rc
 
     # -- full alignment ------------------------------------------------------
 
@@ -283,7 +322,10 @@ class WfaAligner:
             Q, T, qlens, tlens = _quantized_pack(bq, bt)
             maxlen = int(max(qlens.max(), tlens.max()))
             band = max(self._band_for(int(q.size), int(t.size)) for q, t in zip(bq, bt))
-            smax = _round_up((pen.mismatch + pen.gap1_extend) * maxlen + pen.gap1_open + 1, 256)
+            # a capped probe suffices: only the fwd-vs-rc comparison matters,
+            # and the better orientation of related sequences completes well
+            # under 0.35*L edit cost; both hitting the cap => ambiguous
+            smax = _round_up(max(256, int(0.35 * (pen.mismatch + pen.gap1_extend) * maxlen)), 256)
             caps = np.full(len(qlens), smax, dtype=np.int32)
             scores, _ = wfa.wfa_align_device(
                 Q,
