@@ -1,0 +1,214 @@
+"""ctypes loader for the native runtime library (csrc/seqrush_native.cpp).
+
+Compiles on demand with g++ into build/ (cached by source hash) and degrades
+gracefully: every consumer has a pure-Python fallback, so the package works
+without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_ROOT, "csrc", "seqrush_native.cpp")
+_BUILD_DIR = os.path.join(_ROOT, "build")
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_failed = False
+
+
+def _compile() -> str | None:
+    try:
+        with open(_SRC, "rb") as fh:
+            digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    so_path = os.path.join(_BUILD_DIR, f"libseqrush_native_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    tmp = so_path + ".tmp"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
+    except Exception:
+        return None
+    return so_path
+
+
+def get_lib():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        so = _compile()
+        if so is None:
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            _load_failed = True
+            return None
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.fasta_stat.argtypes = [ctypes.c_char_p, c_i64p, c_i64p, c_i64p]
+        lib.fasta_stat.restype = ctypes.c_int64
+        lib.fasta_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            c_i64p,
+            ctypes.POINTER(ctypes.c_uint8),
+            c_i64p,
+        ]
+        lib.fasta_parse.restype = ctypes.c_int64
+        lib.uf_unite_bulk.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        lib.uf_compress.argtypes = [ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.wfa_backtrace.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.wfa_backtrace.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def _i16p(a: np.ndarray | None):
+    if a is None:
+        return ctypes.cast(None, ctypes.POINTER(ctypes.c_int16))
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def parse_fasta_native(path: str) -> list[tuple[str, bytes]]:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = ctypes.c_int64()
+    total = ctypes.c_int64()
+    nlen = ctypes.c_int64()
+    if lib.fasta_stat(path.encode(), ctypes.byref(n), ctypes.byref(total), ctypes.byref(nlen)) != 0:
+        raise OSError(f"cannot read {path}")
+    n_seqs = n.value
+    names = ctypes.create_string_buffer(max(nlen.value, 1))
+    name_offs = np.zeros(max(n_seqs, 1), dtype=np.int64)
+    data = np.zeros(max(total.value, 1), dtype=np.uint8)
+    seq_offs = np.zeros(max(n_seqs, 1), dtype=np.int64)
+    got = lib.fasta_parse(
+        path.encode(),
+        names,
+        name_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        seq_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if got != n_seqs:
+        raise RuntimeError("fasta parse inconsistency")
+    out = []
+    nprev = dprev = 0
+    raw_names = names.raw
+    for k in range(n_seqs):
+        name = raw_names[nprev : name_offs[k]].decode()
+        seq = data[dprev : seq_offs[k]].tobytes()
+        out.append((name, seq))
+        nprev, dprev = int(name_offs[k]), int(seq_offs[k])
+    return out
+
+
+def uf_unite_bulk_native(parent: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    parent = np.ascontiguousarray(parent, dtype=np.int32)
+    u = np.ascontiguousarray(u, dtype=np.int32)
+    v = np.ascontiguousarray(v, dtype=np.int32)
+    lib.uf_unite_bulk(
+        parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        parent.size,
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        u.size,
+    )
+    lib.uf_compress(parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), parent.size)
+
+
+def backtrace_native(
+    hist: dict[str, np.ndarray],
+    score: int,
+    qlen: int,
+    tlen: int,
+    band: int,
+    mismatch: int,
+    o1: int,
+    e1: int,
+    o2: int,
+    e2: int,
+) -> list[tuple[int, str]] | None:
+    """C++ backtrace; returns run-length CIGAR items or None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    HM = np.ascontiguousarray(hist["M"], dtype=np.int16)
+    HI1 = np.ascontiguousarray(hist["I1"], dtype=np.int16)
+    HD1 = np.ascontiguousarray(hist["D1"], dtype=np.int16)
+    HI2 = np.ascontiguousarray(hist["I2"], dtype=np.int16) if "I2" in hist else None
+    HD2 = np.ascontiguousarray(hist["D2"], dtype=np.int16) if "D2" in hist else None
+    srows, ndiag = HM.shape
+    out = np.zeros(qlen + tlen + 2, dtype=np.uint8)
+    n = lib.wfa_backtrace(
+        _i16p(HM),
+        _i16p(HI1),
+        _i16p(HD1),
+        _i16p(HI2),
+        _i16p(HD2),
+        srows,
+        ndiag,
+        score,
+        qlen,
+        tlen,
+        band,
+        mismatch,
+        o1,
+        e1,
+        o2 if HI2 is not None else -1,
+        e2 if HI2 is not None else -1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if n < 0:
+        return None
+    ops = out[:n].tobytes().decode()
+    items: list[tuple[int, str]] = []
+    for op in ops:
+        if items and items[-1][1] == op:
+            items[-1] = (items[-1][0] + 1, op)
+        else:
+            items.append((1, op))
+    return items

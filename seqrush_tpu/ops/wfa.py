@@ -300,7 +300,28 @@ def backtrace_pair(
     """Recover the optimal alignment as a list of (count, op) CIGAR items.
 
     Ops: '=' match, 'X' mismatch, 'I' consume-query, 'D' consume-target.
+    Uses the native C++ backtrace (csrc/seqrush_native.cpp) when available;
+    the pure-Python path below is the behavioral specification.
     """
+    try:
+        from ..native import backtrace_native
+
+        items = backtrace_native(
+            hist,
+            int(score),
+            int(qlen),
+            int(tlen),
+            int(band),
+            pen.mismatch,
+            pen.gap1_open,
+            pen.gap1_extend,
+            pen.gap2_open if pen.two_piece else -1,
+            pen.gap2_extend if pen.two_piece else -1,
+        )
+        if items is not None:
+            return items
+    except Exception:
+        pass
     HM = hist["M"].astype(np.int32)
     HI1 = hist["I1"].astype(np.int32)
     HD1 = hist["D1"].astype(np.int32)

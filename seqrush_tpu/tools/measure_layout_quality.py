@@ -1,0 +1,67 @@
+"""Layout-quality metric — equivalent of the reference's
+measure_layout_quality binary (/root/reference/src/bin/
+measure_layout_quality.rs:150-213): for every consecutive path step, the
+error is |layout distance - genomic distance| where layout position of a
+node is the cumulative sequence offset of nodes in id order; reports
+MSE / RMSE / MAE plus length-normalized variants.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from ..graph.bigraph import BidirectedGraph, parse_gfa
+
+
+def layout_quality(graph: BidirectedGraph) -> dict:
+    node_ids = sorted(graph.nodes)
+    pos = {}
+    cum = 0
+    for nid in node_ids:
+        pos[nid] = cum
+        cum += len(graph.nodes[nid])
+    errors = []
+    for path in graph.paths:
+        genome = 0
+        for a, b in zip(path.steps[:-1], path.steps[1:]):
+            na, nb = int(a) >> 1, int(b) >> 1
+            la = len(graph.nodes[na])
+            layout_dist = abs(pos[nb] - pos[na])
+            genomic_dist = la  # consecutive steps are la apart along the path
+            errors.append(abs(layout_dist - genomic_dist))
+            genome += la
+    if not errors:
+        return {"mse": 0.0, "rmse": 0.0, "mae": 0.0, "n_terms": 0}
+    e = np.array(errors, dtype=np.float64)
+    total_len = sum(len(s) for s in graph.nodes.values())
+    return {
+        "mse": float(np.mean(e**2)),
+        "rmse": float(np.sqrt(np.mean(e**2))),
+        "mae": float(np.mean(e)),
+        "rmse_normalized": float(np.sqrt(np.mean(e**2)) / max(total_len, 1)),
+        "n_terms": int(e.size),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="measure_layout_quality")
+    p.add_argument("input")
+    p.add_argument("--json", action="store_true")
+    ns = p.parse_args(argv)
+    with open(ns.input) as fh:
+        graph = parse_gfa(fh)
+    q = layout_quality(graph)
+    if ns.json:
+        print(json.dumps(q))
+    else:
+        print(f"Layout quality for {ns.input} ({graph.node_count()} nodes):")
+        for k, v in q.items():
+            print(f"  {k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
