@@ -48,3 +48,4 @@ class Args:
     # TPU-specific extensions
     band_slack: int = 128
     seed: int = 42
+    inversion_aware: bool = False  # reference inversion_aware_seqrush mode

@@ -120,6 +120,13 @@ class SeqRushTPU:
             self._paf_out(results)
             for res in results:
                 self._result_to_unites(res, args.min_match_length)
+            if args.inversion_aware:
+                from .align.inversion import inversion_patch_alignments
+
+                u, v = inversion_patch_alignments(
+                    results, aligner, args.min_match_length
+                )
+                self._queue_unites(u, v)
         self._flush_unites()
         self.stats["aligner"] = aligner.stats
 

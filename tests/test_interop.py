@@ -1,0 +1,167 @@
+"""PAF interop (checkpoint/replay), iterative mode, sparsification, CLI, and
+tool tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from seqrush_tpu.align.pairs import all_ordered_pairs, parse_sparsification, schedule_pairs
+from seqrush_tpu.config import Args
+from seqrush_tpu.pipeline import SeqRushTPU, run_seqrush
+from seqrush_tpu.sequences import make_sequence_set
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def rand_seq(n, seed):
+    rng = np.random.default_rng(seed)
+    return BASES[rng.integers(0, 4, size=n)].tobytes()
+
+
+def variant_family(n=4, length=200, seed=5):
+    base = bytearray(rand_seq(length, seed))
+    rng = np.random.default_rng(seed + 1)
+    fam = [("s0", bytes(base))]
+    for k in range(1, n):
+        s = bytearray(base)
+        for pos in rng.integers(0, len(s), size=3):
+            s[pos] = BASES[rng.integers(0, 4)]
+        fam.append((f"s{k}", bytes(s)))
+    return fam
+
+
+def test_paf_roundtrip(tmp_path):
+    """--output-alignments then -p replay produces the identical graph
+    (the PAF file is the pipeline's checkpoint; reference seqrush.rs:510-609)."""
+    fam = variant_family()
+    paf = str(tmp_path / "aln.paf")
+    out1 = str(tmp_path / "direct.gfa")
+    out2 = str(tmp_path / "replay.gfa")
+
+    seqs = make_sequence_set(fam)
+    sr = SeqRushTPU(seqs, Args(output=out1, output_alignments=paf, no_sort=True))
+    sr.align_and_unite()
+    g1 = sr.write_gfa()
+
+    # replay from PAF without aligning
+    seqs2 = make_sequence_set(fam)
+    sr2 = SeqRushTPU(seqs2, Args(output=out2, paf=paf, no_sort=True))
+    sr2.align_and_unite()
+    g2 = sr2.write_gfa()
+
+    assert open(out1).read() == open(out2).read()
+    assert g1.node_count() == g2.node_count()
+
+
+def test_paf_format(tmp_path):
+    fam = variant_family(n=2)
+    paf = str(tmp_path / "a.paf")
+    seqs = make_sequence_set(fam)
+    sr = SeqRushTPU(seqs, Args(output=str(tmp_path / "o.gfa"), output_alignments=paf, no_sort=True))
+    sr.align_and_unite()
+    lines = open(paf).read().splitlines()
+    assert len(lines) == 2  # ordered pairs of 2 seqs
+    f = lines[0].split("\t")
+    assert len(f) >= 13
+    assert f[4] in "+-"
+    assert f[12].startswith("cg:Z:")
+
+
+def test_iterative_mode():
+    fam = variant_family(n=6, length=150, seed=9)
+    seqs = make_sequence_set(fam)
+    sr = SeqRushTPU(seqs, Args(output="/tmp/iter.gfa", iterative=True, no_sort=True))
+    sr.align_and_unite()
+    g = sr.write_gfa()
+    assert sr.validate_paths_match_sequences(g) == []
+    # identical-ish family: most positions unified
+    assert g.node_count() < 2 * 150
+
+
+def test_sparsification_parser():
+    assert parse_sparsification("none").kind == "none"
+    assert parse_sparsification("auto").kind == "auto"
+    s = parse_sparsification("random:0.5")
+    assert s.kind == "random" and s.factor == 0.5
+    s = parse_sparsification("connectivity:0.3")
+    assert s.kind == "connectivity" and s.factor == 0.3
+    s = parse_sparsification("tree:3,2,0.1,16")
+    assert (s.k_nearest, s.k_farthest, s.rand_frac, s.kmer_size) == (3, 2, 0.1, 16)
+    s = parse_sparsification("tree:3")
+    assert (s.k_nearest, s.k_farthest) == (3, 0)
+    s = parse_sparsification("0.7")  # backward compat float
+    assert s.kind == "random" and s.factor == 0.7
+    with pytest.raises(ValueError):
+        parse_sparsification("random:1.5")
+    with pytest.raises(ValueError):
+        parse_sparsification("bogus")
+
+
+def test_schedule_pairs_tree():
+    from seqrush_tpu.ops.kmer import kmer_distance_matrix
+    from seqrush_tpu.pos import encode_bases
+
+    fam = variant_family(n=6, length=200, seed=11)
+    codes = [encode_bases(s) for _, s in fam]
+    kdist = kmer_distance_matrix(codes, 16)
+    pairs = schedule_pairs(6, parse_sparsification("tree:2,1,0.1"), kmer_distances=kdist)
+    assert len(pairs) >= 5  # at least a spanning tree
+    assert (pairs[:, 0] != pairs[:, 1]).all()
+
+
+def test_sparsified_pipeline_still_validates():
+    fam = variant_family(n=6, length=150, seed=13)
+    seqs = make_sequence_set(fam)
+    sr = SeqRushTPU(
+        seqs, Args(output="/tmp/sp.gfa", sparsification="tree:2,1,0.2", no_sort=True)
+    )
+    sr.align_and_unite()
+    g = sr.write_gfa()
+    assert sr.validate_paths_match_sequences(g) == []
+
+
+def test_cli_end_to_end(tmp_path):
+    fa = tmp_path / "in.fa"
+    fam = variant_family(n=3, length=120, seed=15)
+    fa.write_text("".join(f">{name}\n{seq.decode()}\n" for name, seq in fam))
+    out = tmp_path / "out.gfa"
+    from seqrush_tpu.cli import main
+
+    rc = main(["-s", str(fa), "-o", str(out), "--no-sort"])
+    assert rc == 0
+    text = out.read_text()
+    assert text.startswith("H\tVN:Z:1.0")
+    assert sum(1 for l in text.splitlines() if l.startswith("P")) == 3
+
+
+def test_sort_gfa_tool(tmp_path):
+    fa = tmp_path / "in.fa"
+    fam = variant_family(n=2, length=100, seed=17)
+    fa.write_text("".join(f">{name}\n{seq.decode()}\n" for name, seq in fam))
+    unsorted_gfa = tmp_path / "u.gfa"
+    run_seqrush(Args(sequences=str(fa), output=str(unsorted_gfa), no_sort=True))
+    sorted_gfa = tmp_path / "s.gfa"
+    from seqrush_tpu.tools.sort_gfa import main as sort_main
+
+    assert sort_main([str(unsorted_gfa), str(sorted_gfa)]) == 0
+    from seqrush_tpu.graph.bigraph import parse_gfa
+
+    g = parse_gfa(open(sorted_gfa).read())
+    ids = sorted(g.nodes)
+    assert ids == list(range(1, len(ids) + 1))
+
+
+def test_measure_layout_quality_tool(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fam = variant_family(n=2, length=100, seed=19)
+    fa.write_text("".join(f">{name}\n{seq.decode()}\n" for name, seq in fam))
+    gfa = tmp_path / "g.gfa"
+    run_seqrush(Args(sequences=str(fa), output=str(gfa)))
+    from seqrush_tpu.tools.measure_layout_quality import main as mlq
+
+    assert mlq([str(gfa), "--json"]) == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "rmse" in q and q["n_terms"] > 0
