@@ -241,8 +241,12 @@ class WfaAligner:
             band = self._band_for(qlen, tlen)
             trial = batch + [job]
             max_band = max(self._band_for(self.codes[pairs[b[0]][0]].size, self.codes[pairs[b[0]][1]].size) for b in trial)
+            max_lt = max(self.codes[pairs[b[0]][1]].size for b in trial)
             ndiag = 2 * max_band + 1
-            bytes_needed = len(trial) * 5 * (first_smax + 1) * ndiag * 2
+            hist_bytes = len(trial) * 5 * (first_smax + 1) * ndiag * 2
+            # ext table: int16 [B, NDIAG, Lt] plus ~2x transient during build
+            ext_bytes = len(trial) * ndiag * (max_lt + 256) * 2 * 3
+            bytes_needed = hist_bytes + ext_bytes
             if batch and bytes_needed > self.cfg.memory_budget_bytes:
                 other.append(job)
             else:

@@ -35,11 +35,18 @@ def build_bidirected_graph(
     seqs: SequenceSet,
     roots: np.ndarray,
     verbose: bool = False,
+    node_order: str = "traversal",
 ) -> BidirectedGraph:
     """Build the 1bp-node bidirected graph from a compressed parent array.
 
     ``roots``: int array over the Pos space (size >= 2*total_length) where
     roots[p] is the representative of Pos p (fully compressed).
+
+    ``node_order``: "traversal" assigns ids in first-encounter order walking
+    sequences (the SeqRush default); "position" assigns ids by each
+    component's minimum offset — the seqwish "graph sequence" ordering used
+    by the reference's hidden --seqwish-style mode (src/seqwish_style.rs:
+    347-389: components sorted by min position, 1bp nodes in that order).
     """
     n = seqs.total_length
     concat = seqs.concat  # uint8 ASCII
@@ -49,7 +56,12 @@ def build_bidirected_graph(
 
     # Stable first-occurrence unique -> node ids in traversal order.
     uniq_roots, first_idx, inverse = np.unique(rep, return_index=True, return_inverse=True)
-    order = np.argsort(first_idx, kind="stable")
+    if node_order == "position":
+        # roots are component minima -> sorting by root == sorting by min
+        # offset; uniq_roots is already sorted ascending
+        order = np.arange(uniq_roots.size)
+    else:
+        order = np.argsort(first_idx, kind="stable")
     # rank_of_uniq[k] = node rank (0-based) of uniq_roots[k]
     rank_of_uniq = np.empty_like(order)
     rank_of_uniq[order] = np.arange(order.size)

@@ -84,6 +84,48 @@ def pack_batch(
 # -----------------------------------------------------------------------------
 
 
+def _build_ext_table(Q, T, band):
+    """Precompute ext[b, d, h] = length of the exact-match run along diagonal
+    d starting at target offset h (query position h - k_d).
+
+    One-time O(B * NDIAG * L) setup replacing the per-score-step chunked
+    extend loop: wavefront extension becomes a single [B, NDIAG] gather.
+    Built from a structured skew-gather (q index = h + 2*band - d) and a
+    log-doubling suffix run-length scan.
+    """
+    B, Lt = T.shape
+    NDIAG = 2 * band + 1
+    # pad Q with `band` leading pads so negative v indices hit pad
+    Qp = jnp.concatenate(
+        [jnp.full((B, band), QPAD, dtype=Q.dtype), Q, jnp.full((B, band + 1), QPAD, dtype=Q.dtype)],
+        axis=1,
+    )
+    d = jnp.arange(NDIAG, dtype=jnp.int32)[:, None]
+    h = jnp.arange(Lt, dtype=jnp.int32)[None, :]
+    qidx = jnp.clip(h + 2 * band - d, 0, Qp.shape[1] - 1)  # [NDIAG, Lt]
+    qg = Qp[:, qidx]  # [B, NDIAG, Lt]
+    eq = qg == T[:, None, :]
+
+    # suffix consecutive-ones count via log doubling
+    ext = eq.astype(jnp.int16)
+    step = 1
+    while step < Lt:
+        shifted = jnp.concatenate(
+            [ext[:, :, step:], jnp.zeros((B, NDIAG, step), dtype=jnp.int16)], axis=2
+        )
+        ext = jnp.where(ext == step, ext + shifted, ext)
+        step *= 2
+    return ext
+
+
+def _extend_with_table(M, ext, tlens):
+    """Extend offsets using the precomputed run-length table."""
+    active = M > NULL
+    off = jnp.clip(M, 0, ext.shape[2] - 1)
+    adv = jnp.take_along_axis(ext, off[:, :, None], axis=2)[:, :, 0].astype(jnp.int32)
+    return jnp.where(active, M + adv, M)
+
+
 def _extend_all(M, ks, Q, T, qlens, tlens):
     """Greedy diagonal extension for all pairs/diagonals at once.
 
@@ -141,7 +183,9 @@ def _hist_row(H, s_idx, valid):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mismatch", "o1", "e1", "o2", "e2", "smax", "band", "keep_history"),
+    static_argnames=(
+        "mismatch", "o1", "e1", "o2", "e2", "smax", "band", "keep_history", "use_ext_table",
+    ),
 )
 def wfa_align_device(
     Q,
@@ -158,6 +202,7 @@ def wfa_align_device(
     smax: int,
     band: int,
     keep_history: bool,
+    use_ext_table: bool = True,
 ):
     """Run batched WFA.  Returns (scores, done, histories).
 
@@ -178,10 +223,19 @@ def wfa_align_device(
     def store16(x):
         return jnp.clip(x, NULL16, 2**15 - 1).astype(jnp.int16)
 
+    if use_ext_table:
+        ext_table = _build_ext_table(Q, T, band)
+
+        def extend(M):
+            return _extend_with_table(M, ext_table, tlens)
+    else:
+        def extend(M):
+            return _extend_all(M, ks, Q, T, qlens, tlens)
+
     # s = 0: M on diagonal 0 extends from offset 0.
     M0 = jnp.broadcast_to(jnp.where(ks[None, :] == 0, jnp.int32(0), NULL), (B, NDIAG))
     M0 = _valid_mask(M0, ks, qlens, tlens)
-    M0 = _extend_all(M0, ks, Q, T, qlens, tlens)
+    M0 = extend(M0)
 
     final_off0 = jnp.take_along_axis(M0, d_final[:, None], axis=1)[:, 0]
     done0 = final_off0 == tlens
@@ -248,7 +302,7 @@ def wfa_align_device(
         Mmis = jnp.where(m_x > NULL, m_x + 1, NULL)
         M = jnp.maximum(jnp.maximum(Mmis, jnp.maximum(I1, D1)), jnp.maximum(I2, D2))
         M = _valid_mask(M, ks, qlens, tlens)
-        M = _extend_all(M, ks, Q, T, qlens, tlens)
+        M = extend(M)
 
         final_off = jnp.take_along_axis(M, d_final[:, None], axis=1)[:, 0]
         newly_done = (~done) & (final_off == tlens) & (s <= score_caps)

@@ -229,7 +229,12 @@ class SeqRushTPU:
     def build_graph(self) -> BidirectedGraph:
         self._flush_unites()
         roots = np.asarray(self.parent)
-        graph = build_bidirected_graph(self.seqs, roots, verbose=self.args.verbose)
+        graph = build_bidirected_graph(
+            self.seqs,
+            roots,
+            verbose=self.args.verbose,
+            node_order="position" if self.args.seqwish_style else "traversal",
+        )
         graph.verify_path_edges()
         return graph
 
