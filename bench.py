@@ -20,10 +20,24 @@ is the durable number.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: the kernel compiles at most once per shape
+# across processes (important over the tunneled TPU, where long compiles are
+# the dominant cost and risk)
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 BASELINE_ALIGNMENTS_PER_S = 2000.0  # estimated 64-thread Rust SeqRush
 
