@@ -47,6 +47,9 @@ class SeqRushTPU:
         self._edge_u: list[np.ndarray] = []
         self._edge_v: list[np.ndarray] = []
         self.stats: dict = {}
+        from .utils import PhaseTimer
+
+        self.timer = PhaseTimer()
 
     # -- alignment phase -----------------------------------------------------
 
@@ -86,6 +89,26 @@ class SeqRushTPU:
         )
         self._queue_unites(u, v)
 
+    # -- checkpoint / resume -------------------------------------------------
+    # The PAF file is the alignment-phase checkpoint (as in the reference);
+    # additionally the converged parent array itself can be persisted, which
+    # also resumes the graph phase (SURVEY.md §5 checkpoint/resume).
+
+    def save_checkpoint(self, path: str) -> None:
+        self._flush_unites()
+        np.save(path, np.asarray(self.parent))
+
+    def load_checkpoint(self, path: str) -> None:
+        arr = np.load(path)
+        if arr.size != (self.total_length << 1) + 2:
+            raise ValueError(
+                f"checkpoint size {arr.size} does not match sequence space "
+                f"{(self.total_length << 1) + 2}"
+            )
+        self.parent = uf.unite_edges(
+            uf.create(arr.size), np.arange(arr.size, dtype=np.int64), arr.astype(np.int64)
+        )
+
     def align_and_unite(self) -> None:
         args = self.args
         if args.paf:
@@ -110,13 +133,17 @@ class SeqRushTPU:
 
             kdist = kmer_distance_matrix(aligner.codes, spars.kmer_size or 16)
 
+        self.timer.count("pairs_total", n * n)
         if args.iterative:
-            self._align_iterative(aligner, kdist, spars)
+            with self.timer.phase("align"):
+                self._align_iterative(aligner, kdist, spars)
         else:
             pairs = schedule_pairs(n, spars, seed=args.seed, kmer_distances=kdist)
             if args.verbose:
                 print(f"Total sequence pairs: {len(pairs)} (sparsification: {spars.kind})")
-            results = aligner.align_pairs(pairs)
+            with self.timer.phase("align"):
+                results = aligner.align_pairs(pairs)
+            self.timer.count("alignments", len(results))
             self._paf_out(results)
             for res in results:
                 self._result_to_unites(res, args.min_match_length)
@@ -271,7 +298,8 @@ class SeqRushTPU:
                 use_topo=not args.skip_topo,
             )
 
-        errors = self.validate_paths_match_sequences(graph)
+        with self.timer.phase("validate"):
+            errors = self.validate_paths_match_sequences(graph)
         if errors:
             raise RuntimeError("Path validation failed!\n" + "\n".join(errors))
 
