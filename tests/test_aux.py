@@ -140,7 +140,7 @@ def test_sgd_diagnostics_tool(tmp_path, capsys):
     from seqrush_tpu.tools.sgd_diagnostics import main
 
     assert main([str(gfa)]) == 0
-    assert "RMSE" in capsys.readouterr().out
+    assert "step transitions" in capsys.readouterr().out
 
 
 def test_host_stripe():
