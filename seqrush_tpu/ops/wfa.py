@@ -119,11 +119,46 @@ def _build_ext_table(Q, T, band):
 
 
 def _extend_with_table(M, ext, tlens):
-    """Extend offsets using the precomputed run-length table."""
+    """Extend offsets by a full-table masked reduction (XLA-TPU gathers are
+    degenerate, a masked reduce is the fast formulation of a per-row pick)."""
     active = M > NULL
     off = jnp.clip(M, 0, ext.shape[2] - 1)
-    adv = jnp.take_along_axis(ext, off[:, :, None], axis=2)[:, :, 0].astype(jnp.int32)
+    h = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 2)
+    adv = jnp.sum(
+        jnp.where(h == off[:, :, None], ext, 0).astype(jnp.int32), axis=2
+    )
     return jnp.where(active, M + adv, M)
+
+
+WINDOW = 512  # windowed-extension width (exactness-preserving cache)
+
+
+def _window_rebase(ext, M):
+    """Re-center each row's window at its current offset.
+
+    Uses the XLA gather (slow but infrequent: only on window escapes)."""
+    Lt = ext.shape[2]
+    base = jnp.clip(jnp.where(M > NULL, M, 0), 0, max(Lt - WINDOW, 0))
+    idx = jnp.clip(base[:, :, None] + jnp.arange(WINDOW, dtype=jnp.int32), 0, Lt - 1)
+    W = jnp.take_along_axis(ext, idx, axis=2)
+    return base, W
+
+
+def _extend_windowed(M, base, W):
+    """Window lookup: per-step cost O(B*NDIAG*WINDOW) instead of O(..*Lt).
+
+    Returns (advance, in_window, needs_full) — a row needs the full table
+    when its offset left the window or its match run reaches the window edge
+    (the run may continue beyond what the window can prove)."""
+    rel = M - base
+    valid = M > NULL
+    in_win = valid & (rel >= 0) & (rel < WINDOW)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, W.shape, 2)
+    sel = iota_w == jnp.clip(rel, 0, WINDOW - 1)[:, :, None]
+    adv = jnp.sum(jnp.where(sel, W, 0).astype(jnp.int32), axis=2)
+    at_edge = in_win & (adv >= (WINDOW - rel))
+    needs_full = valid & (~in_win | at_edge)
+    return adv, in_win & ~at_edge, needs_full
 
 
 def _extend_all(M, ks, Q, T, qlens, tlens):
@@ -184,7 +219,7 @@ def _hist_row(H, s_idx, valid):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mismatch", "o1", "e1", "o2", "e2", "smax", "band", "keep_history", "use_ext_table",
+        "mismatch", "o1", "e1", "o2", "e2", "smax", "band", "keep_history", "ext_mode",
     ),
 )
 def wfa_align_device(
@@ -202,7 +237,7 @@ def wfa_align_device(
     smax: int,
     band: int,
     keep_history: bool,
-    use_ext_table: bool = True,
+    ext_mode: str = "windowed",
 ):
     """Run batched WFA.  Returns (scores, done, histories).
 
@@ -223,7 +258,8 @@ def wfa_align_device(
     def store16(x):
         return jnp.clip(x, NULL16, 2**15 - 1).astype(jnp.int16)
 
-    if use_ext_table:
+    windowed = ext_mode == "windowed"
+    if ext_mode in ("windowed", "full"):
         ext_table = _build_ext_table(Q, T, band)
 
         def extend(M):
@@ -236,6 +272,8 @@ def wfa_align_device(
     M0 = jnp.broadcast_to(jnp.where(ks[None, :] == 0, jnp.int32(0), NULL), (B, NDIAG))
     M0 = _valid_mask(M0, ks, qlens, tlens)
     M0 = extend(M0)
+    if windowed:
+        base0, W0 = _window_rebase(ext_table, M0)
 
     final_off0 = jnp.take_along_axis(M0, d_final[:, None], axis=1)[:, 0]
     done0 = final_off0 == tlens
@@ -251,9 +289,10 @@ def wfa_align_device(
     hists0[0] = hists0[0].at[:, 0, :].set(store16(M0))
 
     nullwf = jnp.full((B, NDIAG), NULL, dtype=jnp.int32)
-    # carried wavefronts only matter through history reads; we always read
-    # from history, so carry just (s, done, scores, hists, live M row cache).
-    state0 = (jnp.int32(1), done0, scores0, tuple(hists0))
+    if windowed:
+        state0 = (jnp.int32(1), done0, scores0, tuple(hists0), base0, W0)
+    else:
+        state0 = (jnp.int32(1), done0, scores0, tuple(hists0))
 
     def shift(row, direction):
         """shift offsets along diagonal axis: direction=+1 reads k-1 (from
@@ -264,11 +303,14 @@ def wfa_align_device(
             return jnp.concatenate([row[:, 1:], jnp.full((B, 1), NULL, jnp.int32)], axis=1)
 
     def cond(state):
-        s, done, scores, hists = state
+        s, done = state[0], state[1]
         return (s <= smax) & ~jnp.all(done)
 
     def body(state):
-        s, done, scores, hists = state
+        if windowed:
+            s, done, scores, hists, base, W = state
+        else:
+            s, done, scores, hists = state
         if two_piece:
             HM, HI1, HD1, HI2, HD2 = hists
         else:
@@ -302,7 +344,24 @@ def wfa_align_device(
         Mmis = jnp.where(m_x > NULL, m_x + 1, NULL)
         M = jnp.maximum(jnp.maximum(Mmis, jnp.maximum(I1, D1)), jnp.maximum(I2, D2))
         M = _valid_mask(M, ks, qlens, tlens)
-        M = extend(M)
+        if windowed:
+            adv, ok_win, needs_full = _extend_windowed(M, base, W)
+
+            def full_path(args):
+                M, base, W = args
+                Mext = _extend_with_table(M, ext_table, tlens)
+                nbase, nW = _window_rebase(ext_table, Mext)
+                return Mext, nbase, nW
+
+            def win_path(args):
+                M, base, W = args
+                return jnp.where(ok_win, M + adv, M), base, W
+
+            M, base, W = jax.lax.cond(
+                jnp.any(needs_full), full_path, win_path, (M, base, W)
+            )
+        else:
+            M = extend(M)
 
         final_off = jnp.take_along_axis(M, d_final[:, None], axis=1)[:, 0]
         newly_done = (~done) & (final_off == tlens) & (s <= score_caps)
@@ -322,9 +381,12 @@ def wfa_align_device(
             HD2 = put(HD2, D2)
 
         hists = (HM, HI1, HD1, HI2, HD2) if two_piece else (HM, HI1, HD1)
+        if windowed:
+            return (s + 1, done, scores, hists, base, W)
         return (s + 1, done, scores, hists)
 
-    s, done, scores, hists = jax.lax.while_loop(cond, body, state0)
+    final_state = jax.lax.while_loop(cond, body, state0)
+    s, done, scores, hists = final_state[:4]
 
     out_h = {}
     if keep_history:

@@ -13,7 +13,7 @@ PEN = Penalties(mismatch=5, gap1_open=8, gap1_extend=2, gap2_open=24, gap2_exten
 PEN1 = Penalties(mismatch=1, gap1_open=1, gap1_extend=1)
 
 
-def run_batch(pairs, pen, smax=200, band=32, keep_history=True):
+def run_batch(pairs, pen, smax=200, band=32, keep_history=True, ext_mode="windowed"):
     qs = [encode_bases(q) for q, _ in pairs]
     ts = [encode_bases(t) for _, t in pairs]
     Q, T, qlens, tlens = wfa.pack_batch(qs, ts)
@@ -32,6 +32,7 @@ def run_batch(pairs, pen, smax=200, band=32, keep_history=True):
         smax=smax,
         band=band,
         keep_history=keep_history,
+        ext_mode=ext_mode,
     )
     return np.asarray(scores), {k: np.asarray(v) for k, v in hists.items()}
 
@@ -178,3 +179,26 @@ def test_score_cap_rejects():
         mismatch=5, o1=8, e1=2, o2=24, e2=1, smax=200, band=16, keep_history=False,
     )
     assert scores[0] == -1
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_ext_modes_agree(seed):
+    """windowed / full / chunked extension modes produce identical scores
+    and histories."""
+    rng = np.random.default_rng(40 + seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=700)].tobytes()
+    alt = bytearray(base)
+    for pos in rng.integers(0, len(alt), size=12):
+        alt[pos] = bases[rng.integers(0, 4)]
+    del alt[333:341]
+    pairs = [(base, bytes(alt)), (base, base), (bytes(alt), base)]
+    outs = {}
+    for mode in ("windowed", "full", "chunked"):
+        outs[mode] = run_batch(pairs, PEN, smax=400, band=64, ext_mode=mode)
+    s0, h0 = outs["windowed"]
+    for mode in ("full", "chunked"):
+        s, h = outs[mode]
+        assert (s == s0).all(), mode
+        for k in h0:
+            assert (h[k] == h0[k]).all(), (mode, k)
