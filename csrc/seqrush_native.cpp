@@ -227,3 +227,62 @@ int64_t wfa_backtrace(const int16_t* HM, const int16_t* HI1, const int16_t* HD1,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Banded anti-diagonal Gotoh traceback (ops/nw.py packed bytes)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// tb: uint8 [tmax+1, W] packed rows; emits ops ('M','I','D') forward order.
+// Returns op count or -1 on inconsistency.  'M' cells are split into '='/'X'
+// on the python side against the sequences.
+int64_t nw_traceback(const uint8_t* tb, int64_t tmax_rows, int64_t W,
+                     int32_t qlen, int32_t tlen, int32_t band,
+                     uint8_t* out_ops) {
+  std::vector<uint8_t> rev;
+  rev.reserve((size_t)(qlen + tlen));
+  int64_t i = qlen, j = tlen;
+  int state = 0;  // 0=H 1=D1 2=I1 3=D2 4=I2
+  while (i > 0 || j > 0) {
+    int64_t t = i + j;
+    int64_t i0 = (t - band + 1) / 2;
+    if (i0 < 0) i0 = 0;
+    int64_t l = i - i0;
+    if (t < 0 || t >= tmax_rows || l < 0 || l >= W) return -1;
+    uint8_t b = tb[t * W + l];
+    if (state == 0) {
+      int choice = b & 7;
+      if (choice == 0) {
+        rev.push_back('M');
+        --i;
+        --j;
+      } else if (choice == 1) {
+        state = 1;
+      } else if (choice == 2) {
+        state = 2;
+      } else if (choice == 3) {
+        state = 3;
+      } else if (choice == 4) {
+        state = 4;
+      } else {
+        return -1;
+      }
+    } else if (state == 2 || state == 4) {  // I1 / I2
+      bool opened = b & (state == 2 ? 8 : 16);
+      rev.push_back('I');
+      --i;
+      if (opened) state = 0;
+    } else {  // D1 / D2
+      bool opened = b & (state == 1 ? 32 : 64);
+      rev.push_back('D');
+      --j;
+      if (opened) state = 0;
+    }
+  }
+  int64_t n = (int64_t)rev.size();
+  for (int64_t k = 0; k < n; ++k) out_ops[k] = rev[(size_t)(n - 1 - k)];
+  return n;
+}
+
+}  // extern "C"

@@ -55,6 +55,9 @@ class RunnerConfig:
     initial_smax: int = 256
     memory_budget_bytes: int = int(1.5e9)
     verbose: bool = False
+    # alignment kernel: 'nw' = banded anti-diagonal Gotoh (shift-only,
+    # TPU speed-of-light); 'wfa' = score-adaptive wavefront
+    kernel: str = "nw"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -195,6 +198,17 @@ class WfaAligner:
         )
         order = np.argsort(maxlens, kind="stable")
 
+        if self.cfg.kernel == "nw":
+            results = self._align_pairs_nw(pairs, order, is_rev, pen)
+            self.stats["alignments"] += len(results)
+            self.stats["wall_s"] += time.time() - t0
+            if self.cfg.verbose:
+                print(
+                    f"[runner] aligned {len(results)}/{len(pairs)} pairs in "
+                    f"{self.stats['wall_s']:.2f}s ({self.stats['dropped']} dropped)"
+                )
+            return results
+
         # initial score budget; escalate unfinished pairs
         pending = [(int(p), int(self.cfg.initial_smax)) for p in order]
         while pending:
@@ -214,6 +228,83 @@ class WfaAligner:
                 f"{self.stats['wall_s']:.2f}s ({self.stats['dropped']} dropped)"
             )
         return results
+
+    # -- banded anti-diagonal Gotoh path --------------------------------------
+
+    def _align_pairs_nw(self, pairs, order, is_rev, pen) -> list[AlignmentResult]:
+        from ..ops import nw
+
+        results: list[AlignmentResult] = []
+        # bucket by length so padded shapes stay tight
+        i = 0
+        order = list(order)
+        while i < len(order):
+            # take a chunk bounded by traceback memory
+            chunk = []
+            while i < len(order):
+                p = int(order[i])
+                qi, tj = pairs[p]
+                q = self.rc_codes[qi] if is_rev[p] else self.codes[qi]
+                t = self.codes[tj]
+                trial = chunk + [(p, q, t)]
+                band = max(self._band_for(x[1].size, x[2].size) for x in trial)
+                tmax = _round_up(max(x[1].size + x[2].size for x in trial), 512)
+                bytes_needed = _next_pow2(len(trial)) * (tmax + 1) * (band + 1)
+                if chunk and bytes_needed > self.cfg.memory_budget_bytes:
+                    break
+                chunk.append((p, q, t))
+                i += 1
+            results.extend(self._run_nw_chunk(chunk, pairs, is_rev, pen))
+        return results
+
+    def _run_nw_chunk(self, chunk, pairs, is_rev, pen) -> list[AlignmentResult]:
+        from ..ops import nw
+
+        band = max(self._band_for(q.size, t.size) for _, q, t in chunk)
+        tmax = _round_up(max(q.size + t.size for _, q, t in chunk), 512)
+        B = _next_pow2(len(chunk))
+        lq = _round_up(max(q.size for _, q, _ in chunk), 256)
+        lt = _round_up(max(t.size for _, _, t in chunk), 256)
+        Q = np.full((B, lq), wfa.QPAD, dtype=np.uint8)
+        T = np.full((B, lt), wfa.TPAD, dtype=np.uint8)
+        qlens = np.zeros(B, np.int32)
+        tlens = np.zeros(B, np.int32)
+        for b, (_, q, t) in enumerate(chunk):
+            Q[b, : q.size] = q
+            T[b, : t.size] = t
+            qlens[b] = q.size
+            tlens[b] = t.size
+        scores, tb = nw.nw_align_device(
+            Q,
+            T,
+            qlens,
+            tlens,
+            mismatch=pen.mismatch,
+            o1=pen.gap1_open,
+            e1=pen.gap1_extend,
+            o2=pen.gap2_open if pen.two_piece else -1,
+            e2=pen.gap2_extend if pen.two_piece else -1,
+            band=band,
+            tmax=tmax,
+            with_traceback=True,
+        )
+        scores = np.asarray(scores)
+        tb = np.asarray(tb)
+        out = []
+        for b, (p, q, t) in enumerate(chunk):
+            qi, tj = pairs[p]
+            score = int(scores[b])
+            if score < 0:
+                self.stats["dropped"] += 1
+                continue
+            cap = self._pair_cap(int(qlens[b]), int(tlens[b]))
+            if score > cap:
+                self.stats["dropped"] += 1  # exceeds divergence cap
+                continue
+            items = nw.traceback_pair(tb[b], int(qlens[b]), int(tlens[b]), band)
+            items = nw.resolve_matches(items, q, t)
+            out.append(AlignmentResult(int(qi), int(tj), bool(is_rev[p]), score, items))
+        return out
 
     # -- internals -----------------------------------------------------------
 

@@ -99,6 +99,16 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.wfa_backtrace.restype = ctypes.c_int64
+        lib.nw_traceback.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.nw_traceback.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -200,6 +210,38 @@ def backtrace_native(
         e1,
         o2 if HI2 is not None else -1,
         e2 if HI2 is not None else -1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if n < 0:
+        return None
+    ops = out[:n].tobytes().decode()
+    items: list[tuple[int, str]] = []
+    for op in ops:
+        if items and items[-1][1] == op:
+            items[-1] = (items[-1][0] + 1, op)
+        else:
+            items.append((1, op))
+    return items
+
+
+def nw_traceback_native(
+    tb: np.ndarray, qlen: int, tlen: int, band: int
+) -> list[tuple[int, str]] | None:
+    """C++ banded-Gotoh traceback; returns run-length items with 'M' runs
+    (resolved to '='/'X' by the caller) or None on failure/unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tb = np.ascontiguousarray(tb, dtype=np.uint8)
+    rows, W = tb.shape
+    out = np.zeros(qlen + tlen + 2, dtype=np.uint8)
+    n = lib.nw_traceback(
+        tb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows,
+        W,
+        qlen,
+        tlen,
+        band,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if n < 0:

@@ -1,0 +1,333 @@
+"""Banded anti-diagonal Gotoh alignment (two-piece affine) — the
+speed-of-light TPU formulation.
+
+The WFA formulation (ops/wfa.py) is score-adaptive but needs per-diagonal
+random access for its extend step, which TPUs cannot gather efficiently.
+This kernel instead sweeps the full banded DP matrix by anti-diagonals:
+
+* cell (i, j) lives on anti-diagonal t = i + j at lane l = i - i0(t), where
+  i0(t) anchors a static band of width W around the main diagonal strip
+  |i - j| <= K;
+* every dependency is a lane shift of the previous one or two anti-diagonal
+  rows (never a gather), and the substitution comparison is one dynamic
+  slice of the query and of the reversed target per step;
+* per step work is 6 x [B, W] elementwise min/add — pure VPU — and one
+  packed uint8 [B, W] traceback row appended to HBM;
+* the loop has a static trip count (max qlen+tlen over the batch) and a
+  tiny body, so it compiles fast and runs at VPU speed.
+
+Scores are exact whenever the optimal path stays within the band (the same
+guarantee the banded WFA gives).  The traceback decodes on the host (C++ or
+numpy) into the same standard CIGAR ops as ops/wfa.py ('I' consumes query,
+'D' consumes target), with the same documented tie order (X, D1, I1, D2, I2).
+
+DP (penalties, match = 0):
+  H[i,j]  = min(H[i-1,j-1] + sub(i,j), I1, I2, D1, D2 at [i,j])
+  I1[i,j] = min(H[i-1,j] + o1 + e1, I1[i-1,j] + e1)      (consume query)
+  D1[i,j] = min(H[i,j-1] + o1 + e1, D1[i,j-1] + e1)      (consume target)
+  (I2/D2 with o2/e2)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = jnp.int32(2**28)
+QPAD = 6
+TPAD = 7
+
+# traceback byte layout: bits 0-2 H choice (0=match/mismatch diag, 1=D1,
+# 2=I1, 3=D2, 4=I2, 7=invalid); bit 3 I1 opened; bit 4 I2 opened;
+# bit 5 D1 opened; bit 6 D2 opened
+H_DIAG, H_D1, H_I1, H_D2, H_I2 = 0, 1, 2, 3, 4
+
+
+def _i0_of(t, K):
+    """Band anchor: first query index on anti-diagonal t (static schedule)."""
+    return jnp.maximum((t - K + 1) // 2, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mismatch", "o1", "e1", "o2", "e2", "band", "tmax", "with_traceback"),
+)
+def nw_align_device(
+    Q,
+    T,
+    qlens,
+    tlens,
+    *,
+    mismatch: int,
+    o1: int,
+    e1: int,
+    o2: int,
+    e2: int,
+    band: int,
+    tmax: int,
+    with_traceback: bool,
+):
+    """Banded two-piece-affine global alignment for a batch of pairs.
+
+    Q [B, Lq] / T [B, Lt]: base codes padded with QPAD/TPAD.
+    band: half-width K; lanes cover i in [i0(t), i0(t)+W).
+    tmax: static anti-diagonal count (>= max qlen+tlen).
+    Returns (scores [B] int32, traceback [B, tmax+1, W] uint8 or empty).
+    """
+    B, Lq = Q.shape
+    Lt = T.shape[1]
+    K = band
+    W = K + 1
+    two = o2 >= 0
+
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+
+    # reversed target (padded) for the per-step window slice
+    Trev = T[:, ::-1]
+
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
+
+    def row(val):
+        return jnp.full((B, W), val, dtype=jnp.int32)
+
+    # state rows at t-1 and t-2
+    H1 = row(INF)
+    H2 = row(INF)
+    I1r = row(INF)
+    D1r = row(INF)
+    I2r = row(INF)
+    D2r = row(INF)
+    # t = 0: only cell (0,0): i0(0)=0, lane 0
+    H1 = H1.at[:, 0].set(0)
+
+    scores = jnp.full((B,), -1, dtype=jnp.int32)
+    if with_traceback:
+        tb0 = jnp.zeros((B, tmax + 1, W), dtype=jnp.uint8)
+    else:
+        tb0 = jnp.zeros((B, 1, 1), dtype=jnp.uint8)
+
+    def shift_right(x):
+        """lane l reads previous row's lane l-1 (i-1 when bases align)."""
+        return jnp.concatenate([jnp.full((B, 1), INF, jnp.int32), x[:, :-1]], axis=1)
+
+    def body(t, state):
+        H1, H2, I1r, D1r, I2r, D2r, scores, tb = state
+        i0 = _i0_of(t, K)
+        i0p = _i0_of(t - 1, K)
+        i0pp = _i0_of(t - 2, K)
+        dp = i0 - i0p  # 0 or 1
+        dpp = i0 - i0pp  # always... i0(t)-i0(t-2) in {0,1}
+
+        i = i0 + lanes  # [1, W] broadcast below
+        j = t - i  # [1, W] per-batch same (lens differ only in masks)
+
+        # align previous rows into current lane frame:
+        # (i-1, j)  at t-1: lane (i-1) - i0p = l + (dp - 1)
+        # (i,  j-1) at t-1: lane i - i0p = l + dp
+        # (i-1,j-1) at t-2: lane (i-1) - i0pp = l + (dpp - 1)
+        def frame(x, delta):
+            """read prev row at lane l + delta, delta in {-1, 0, 1}."""
+            sr = shift_right(x)  # delta = -1
+            sl = jnp.concatenate([x[:, 1:], jnp.full((B, 1), INF, jnp.int32)], axis=1)
+            return jnp.where(delta == -1, sr, jnp.where(delta == 0, x, sl))
+
+        h_up = frame(H1, dp - 1)  # H[i-1, j]
+        h_left = frame(H1, dp)  # H[i, j-1]
+        h_diag = frame(H2, dpp - 1)  # H[i-1, j-1]
+        i1_up = frame(I1r, dp - 1)
+        d1_left = frame(D1r, dp)
+        i2_up = frame(I2r, dp - 1)
+        d2_left = frame(D2r, dp)
+
+        # substitution: q[i-1] vs t[j-1] (1-based cells)
+        qp = jnp.pad(Q, ((0, 0), (1, W)), constant_values=QPAD)
+        qwin = jax.lax.dynamic_slice_in_dim(
+            qp, jnp.clip(i0, 0, qp.shape[1] - W), W, axis=1
+        )
+        # t[j-1] with j = t - i decreasing in lane: Trev[Lt-1 - (j-1)] =
+        # Trev[Lt - t + i] -> slice Trev (padded left by 1... index Lt-j)
+        trev_p = jnp.pad(Trev, ((0, 0), (W, W)), constant_values=TPAD)
+        twin = jax.lax.dynamic_slice_in_dim(
+            trev_p, jnp.clip(Lt - t + i0 + W, 0, trev_p.shape[1] - W), W, axis=1
+        )
+        sub = jnp.where(qwin == twin, 0, mismatch).astype(jnp.int32)
+
+        i1_open = jnp.minimum(h_up + (o1 + e1), i1_up + e1)
+        I1n = i1_open
+        i1_opened = (h_up + (o1 + e1)) <= (i1_up + e1)
+        d1_open = jnp.minimum(h_left + (o1 + e1), d1_left + e1)
+        D1n = d1_open
+        d1_opened = (h_left + (o1 + e1)) <= (d1_left + e1)
+        if two:
+            I2n = jnp.minimum(h_up + (o2 + e2), i2_up + e2)
+            i2_opened = (h_up + (o2 + e2)) <= (i2_up + e2)
+            D2n = jnp.minimum(h_left + (o2 + e2), d2_left + e2)
+            d2_opened = (h_left + (o2 + e2)) <= (d2_left + e2)
+        else:
+            I2n = row(INF)
+            D2n = row(INF)
+            i2_opened = jnp.zeros((B, W), bool)
+            d2_opened = jnp.zeros((B, W), bool)
+
+        diag = h_diag + sub
+        # H choice with documented tie order: diag, D1, I1, D2, I2
+        Hn = diag
+        choice = jnp.full((B, W), H_DIAG, jnp.uint8)
+        for cand, tag in ((D1n, H_D1), (I1n, H_I1), (D2n, H_D2), (I2n, H_I2)):
+            better = cand < Hn
+            Hn = jnp.where(better, cand, Hn)
+            choice = jnp.where(better, jnp.uint8(tag), choice)
+
+        # in-bounds mask: 0 <= i <= qlen, 0 <= j <= tlen, (i,j) != (0,0) handled
+        valid = (
+            (i >= 0)
+            & (i <= qlens[:, None])
+            & (j >= 0)
+            & (j <= tlens[:, None])
+        )
+        Hn = jnp.where(valid, Hn, INF)
+        I1n = jnp.where(valid, jnp.minimum(I1n, INF), INF)
+        D1n = jnp.where(valid, jnp.minimum(D1n, INF), INF)
+        I2n = jnp.where(valid, jnp.minimum(I2n, INF), INF)
+        D2n = jnp.where(valid, jnp.minimum(D2n, INF), INF)
+        Hn = jnp.minimum(Hn, INF)
+
+        # capture final score when t == qlen + tlen at lane qlen - i0
+        fin_lane = qlens[:, None] - i0
+        at_final = (t == (qlens + tlens))[:, None] & (lanes == fin_lane)
+        fin_val = jnp.min(jnp.where(at_final, Hn, INF), axis=1)
+        scores = jnp.where(
+            (t == (qlens + tlens)) & (scores < 0) & (fin_val < INF), fin_val, scores
+        )
+
+        packed = (
+            choice
+            | (i1_opened.astype(jnp.uint8) << 3)
+            | (i2_opened.astype(jnp.uint8) << 4)
+            | (d1_opened.astype(jnp.uint8) << 5)
+            | (d2_opened.astype(jnp.uint8) << 6)
+        )
+        if with_traceback:
+            tb = jax.lax.dynamic_update_slice_in_dim(
+                tb, packed[:, None, :], t, axis=1
+            )
+
+        return (Hn, H1, I1n, D1n, I2n, D2n, scores, tb)
+
+    state = (H1, H2, I1r, D1r, I2r, D2r, scores, tb0)
+    state = jax.lax.fori_loop(1, tmax + 1, body, state)
+    scores = state[6]
+    tb = state[7]
+    return scores, tb
+
+
+# -----------------------------------------------------------------------------
+# Host traceback
+# -----------------------------------------------------------------------------
+
+
+def _i0_host(t, K):
+    return max((t - K + 1) // 2, 0)
+
+
+def traceback_pair(
+    tb: np.ndarray, qlen: int, tlen: int, band: int
+) -> list[tuple[int, str]]:
+    """Decode one pair's packed traceback into run-length CIGAR items.
+
+    Prefers the native C++ walk (csrc/seqrush_native.cpp nw_traceback); the
+    Python loop below is the behavioral specification."""
+    try:
+        from ..native import nw_traceback_native
+
+        items = nw_traceback_native(tb, qlen, tlen, band)
+        if items is not None:
+            return items
+    except Exception:
+        pass
+    K = band
+    W = K + 1
+    ops: list[str] = []
+    i, j = qlen, tlen
+    state = "H"
+    while i > 0 or j > 0:
+        t = i + j
+        l = i - _i0_host(t, K)
+        b = int(tb[t, l]) if 0 <= l < W else 0
+        if state == "H":
+            choice = b & 7
+            if choice == H_DIAG:
+                # bases are not visible here; emit 'M' and let
+                # resolve_matches() split into '='/'X' against the sequences
+                ops.append("M")
+                i -= 1
+                j -= 1
+            elif choice == H_D1:
+                state = "D1"
+            elif choice == H_I1:
+                state = "I1"
+            elif choice == H_D2:
+                state = "D2"
+            elif choice == H_I2:
+                state = "I2"
+            else:
+                raise AssertionError("invalid traceback cell")
+        elif state in ("I1", "I2"):
+            opened = bool(b & (8 if state == "I1" else 16))
+            ops.append("I")
+            i -= 1
+            if opened:
+                state = "H"
+        else:  # D1 / D2
+            opened = bool(b & (32 if state == "D1" else 64))
+            ops.append("D")
+            j -= 1
+            if opened:
+                state = "H"
+    ops.reverse()
+    # run-length encode (M placeholders resolved by resolve_matches)
+    out: list[tuple[int, str]] = []
+    for op in ops:
+        if out and out[-1][1] == op:
+            out[-1] = (out[-1][0] + 1, op)
+        else:
+            out.append((1, op))
+    return out
+
+
+def resolve_matches(
+    items: list[tuple[int, str]], q: np.ndarray, t: np.ndarray
+) -> list[tuple[int, str]]:
+    """Split 'M' runs into '='/'X' by comparing bases (vectorized)."""
+    out: list[tuple[int, str]] = []
+    qi = ti = 0
+
+    def push(n, op):
+        if n <= 0:
+            return
+        if out and out[-1][1] == op:
+            out[-1] = (out[-1][0] + n, op)
+        else:
+            out.append((n, op))
+
+    for n, op in items:
+        if op == "M":
+            eq = np.asarray(q[qi : qi + n]) == np.asarray(t[ti : ti + n])
+            start = 0
+            for k in range(1, n + 1):
+                if k == n or eq[k] != eq[start]:
+                    push(k - start, "=" if eq[start] else "X")
+                    start = k
+            qi += n
+            ti += n
+        else:
+            push(n, op)
+            if op == "I":
+                qi += n
+            elif op == "D":
+                ti += n
+    return out

@@ -93,7 +93,11 @@ def handle_str(handle) -> str:
 
 # Encoded bases: A=0 C=1 G=2 T=3, N=4, other=5.  Complement of code b (<4) is
 # 3-b; N and unknown map to themselves (rc keeps N as N, reference pos.rs:78-87).
-_ENCODE_LUT = np.full(256, 5, dtype=np.uint8)
+# Unknown characters keep their raw byte value (>= 8, so they never collide
+# with the ACGTN codes or the kernel pad values 6/7): two unknowns compare
+# equal iff the original bytes are equal, matching the reference's raw-byte
+# base comparison.
+_ENCODE_LUT = np.arange(256, dtype=np.uint8)
 for i, ch in enumerate(b"ACGT"):
     _ENCODE_LUT[ch] = i
     _ENCODE_LUT[ch + 32] = i  # lowercase

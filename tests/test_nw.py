@@ -1,0 +1,171 @@
+"""Banded anti-diagonal Gotoh kernel tests: score parity with the DP oracle
+and with the WFA kernel, traceback validity."""
+
+import numpy as np
+import pytest
+
+from seqrush_tpu.ops import nw, wfa
+from seqrush_tpu.ops.wfa import Penalties
+from seqrush_tpu.pos import encode_bases
+
+PEN = Penalties(5, 8, 2, 24, 1)
+PEN1 = Penalties(1, 1, 1)
+
+
+def run_nw(pairs, pen, band=48, with_traceback=True):
+    qs = [encode_bases(q) for q, _ in pairs]
+    ts = [encode_bases(t) for _, t in pairs]
+    lq = max(q.size for q in qs)
+    lt = max(t.size for t in ts)
+    Q = np.stack([np.concatenate([q, np.full(lq - q.size, nw.QPAD, np.uint8)]) for q in qs])
+    T = np.stack([np.concatenate([t, np.full(lt - t.size, nw.TPAD, np.uint8)]) for t in ts])
+    qlens = np.array([q.size for q in qs], np.int32)
+    tlens = np.array([t.size for t in ts], np.int32)
+    tmax = int((qlens + tlens).max())
+    scores, tb = nw.nw_align_device(
+        Q,
+        T,
+        qlens,
+        tlens,
+        mismatch=pen.mismatch,
+        o1=pen.gap1_open,
+        e1=pen.gap1_extend,
+        o2=pen.gap2_open if pen.two_piece else -1,
+        e2=pen.gap2_extend if pen.two_piece else -1,
+        band=band,
+        tmax=tmax,
+        with_traceback=with_traceback,
+    )
+    return np.asarray(scores), np.asarray(tb), qlens, tlens
+
+
+def full_cigar(tb, b, qlens, tlens, band, q, t):
+    items = nw.traceback_pair(tb[b], int(qlens[b]), int(tlens[b]), band)
+    return nw.resolve_matches(
+        items, np.frombuffer(q, np.uint8), np.frombuffer(t, np.uint8)
+    )
+
+
+def check_cigar(items, q, t):
+    qi = ti = 0
+    for n, op in items:
+        if op == "=":
+            assert q[qi : qi + n] == t[ti : ti + n]
+            qi += n
+            ti += n
+        elif op == "X":
+            assert all(q[qi + i] != t[ti + i] for i in range(n))
+            qi += n
+            ti += n
+        elif op == "I":
+            qi += n
+        elif op == "D":
+            ti += n
+        else:
+            raise AssertionError(op)
+    assert qi == len(q) and ti == len(t)
+
+
+def cigar_score(items, pen):
+    s = 0
+    for n, op in items:
+        if op == "X":
+            s += n * pen.mismatch
+        elif op in "ID":
+            g1 = pen.gap1_open + n * pen.gap1_extend
+            s += min(g1, pen.gap2_open + n * pen.gap2_extend) if pen.two_piece else g1
+    return s
+
+
+def test_identical():
+    s, tb, ql, tl = run_nw([(b"ACGTACGTAC", b"ACGTACGTAC")], PEN)
+    assert s[0] == 0
+    items = full_cigar(tb, 0, ql, tl, 48, b"ACGTACGTAC", b"ACGTACGTAC")
+    assert items == [(10, "=")]
+
+
+def test_snp_and_gap():
+    q = b"ACGTACGTACGTACGT"
+    t = b"ACGAACGTACGT"  # SNP at 3 + 4-base deletion vs q
+    s, tb, ql, tl = run_nw([(q, t)], PEN)
+    items = full_cigar(tb, 0, ql, tl, 48, q, t)
+    check_cigar(items, q, t)
+    assert cigar_score(items, PEN) == s[0]
+
+
+def test_long_gap_two_piece():
+    q = b"ACGTACGTACGT" + b"T" * 24 + b"GGCCAATT"
+    t = b"ACGTACGTACGT" + b"GGCCAATT"
+    s, _, _, _ = run_nw([(q, t)], PEN, band=40)
+    assert s[0] == 48  # min(8+2*24, 24+24)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_vs_dp(seed):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def mutate(s):
+        s = bytearray(s)
+        for _ in range(rng.integers(0, 6)):
+            op = rng.integers(0, 3)
+            pos = rng.integers(0, len(s))
+            if op == 0:
+                s[pos] = bases[rng.integers(0, 4)]
+            elif op == 1 and len(s) > 4:
+                del s[pos : pos + int(rng.integers(1, 4))]
+            else:
+                s[pos:pos] = bases[rng.integers(0, 4, size=int(rng.integers(1, 4)))].tobytes()
+        return bytes(s)
+
+    base = bases[rng.integers(0, 4, size=70)].tobytes()
+    pairs = [(mutate(base), mutate(base)) for _ in range(4)]
+    scores, tb, ql, tl = run_nw(pairs, PEN, band=40)
+    for b, (q, t) in enumerate(pairs):
+        dp = wfa.affine2p_score_dp(
+            np.frombuffer(q, np.uint8), np.frombuffer(t, np.uint8), PEN
+        )
+        assert scores[b] == dp, f"pair {b}"
+        items = full_cigar(tb, b, ql, tl, 40, q, t)
+        check_cigar(items, q, t)
+        assert cigar_score(items, PEN) == dp
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_matches_wfa_scores(seed):
+    rng = np.random.default_rng(50 + seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=300)].tobytes()
+    alt = bytearray(base)
+    for pos in rng.integers(0, len(alt), size=8):
+        alt[pos] = bases[rng.integers(0, 4)]
+    del alt[150:157]
+    pairs = [(base, bytes(alt)), (bytes(alt), base), (base, base)]
+    s_nw, _, _, _ = run_nw(pairs, PEN, band=64, with_traceback=False)
+
+    qs = [encode_bases(q) for q, _ in pairs]
+    ts = [encode_bases(t) for _, t in pairs]
+    Q, T, qlens, tlens = wfa.pack_batch(qs, ts)
+    s_wfa, _ = wfa.wfa_align_device(
+        Q, T, qlens, tlens, np.full(3, 500, np.int32),
+        mismatch=5, o1=8, e1=2, o2=24, e2=1, smax=500, band=64, keep_history=False,
+    )
+    assert (s_nw == np.asarray(s_wfa)).all()
+
+
+def test_single_piece_edit_distance():
+    q = b"ACGTACGTAA"
+    t = b"ACTTACGTA"
+    s, tb, ql, tl = run_nw([(q, t)], PEN1, band=16)
+    dp = wfa.affine2p_score_dp(np.frombuffer(q, np.uint8), np.frombuffer(t, np.uint8), PEN1)
+    assert s[0] == dp
+
+
+def test_unequal_lengths_batch():
+    pairs = [(b"ACGT" * 10, b"ACGT" * 12), (b"AC" * 8, b"AC" * 8)]
+    s, tb, ql, tl = run_nw(pairs, PEN, band=32)
+    for b, (q, t) in enumerate(pairs):
+        dp = wfa.affine2p_score_dp(np.frombuffer(q, np.uint8), np.frombuffer(t, np.uint8), PEN)
+        assert s[b] == dp
+        items = full_cigar(tb, b, ql, tl, 32, q, t)
+        check_cigar(items, q, t)
