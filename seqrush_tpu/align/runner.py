@@ -345,8 +345,11 @@ class WfaAligner:
         return batch, other
 
     def _band_for(self, qlen: int, tlen: int) -> int:
+        # band half-width K; W = K+1 lanes — keep W a multiple of 128 so the
+        # per-step [B, W] rows tile the VPU lanes exactly
         diff = abs(tlen - qlen)
-        return min(_round_up(diff + self.cfg.band_slack, 64), max(qlen, tlen) + 1)
+        k = _round_up(diff + self.cfg.band_slack + 1, 128) - 1
+        return min(k, max(qlen, tlen) + 1)
 
     def _run_full_batch(self, batch, pairs, is_rev, pen):
         if not batch:
