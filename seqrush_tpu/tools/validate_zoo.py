@@ -1,0 +1,136 @@
+"""Zoo validation harness — the analog of the reference's HLA-zoo external
+validation (/root/reference/CLAUDE.md:51-62: 28/28 graphs structurally valid
+under odgi, layout RMSE tracked).
+
+The HLA-zoo FASTAs are not redistributable here (the reference carries them
+as an empty git submodule), so the harness runs on any directory of FASTAs
+— or generates a synthetic zoo with HLA-like statistics (several gene
+families, ~6-12 haplotypes each, 1-4 kb, 1-5% divergence, occasional
+inversions) — and checks, per gene:
+
+  * the golden invariant (every path reconstructs its input),
+  * structural validity (edges reference existing nodes, path edges exist,
+    sequential ids after sort),
+  * layout quality (RMSE/MAE) via the measure_layout_quality metric.
+
+Prints a per-gene table and a pass count ("N/N graphs pass").
+
+  python -m seqrush_tpu.tools.validate_zoo --synthetic 8
+  python -m seqrush_tpu.tools.validate_zoo /path/to/zoo/*.fa
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+from ..config import Args
+from ..pipeline import SeqRushTPU
+from ..sequences import load_fasta, make_sequence_set
+from .measure_layout_quality import layout_quality
+
+
+def synth_gene(idx: int, rng: np.random.Generator):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    length = int(rng.integers(1000, 4000))
+    n_hap = int(rng.integers(6, 13))
+    base = bases[rng.integers(0, 4, size=length)]
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    out = [(f"gene{idx}*00", base.tobytes())]
+    for k in range(1, n_hap):
+        s = bytearray(base.tobytes())
+        div = rng.uniform(0.01, 0.05)
+        for pos in rng.integers(0, len(s), size=int(div * len(s))):
+            s[pos] = bases[rng.integers(0, 4)]
+        for _ in range(int(rng.integers(1, 5))):
+            pos = int(rng.integers(0, max(len(s) - 60, 1)))
+            ln = int(rng.integers(1, 40))
+            if rng.random() < 0.5:
+                del s[pos : pos + ln]
+            else:
+                s[pos:pos] = bases[rng.integers(0, 4, size=ln)].tobytes()
+        if rng.random() < 0.15:
+            a = len(s) // 3
+            b = 2 * len(s) // 3
+            s[a:b] = bytes(s[a:b]).translate(comp)[::-1]
+        out.append((f"gene{idx}*{k:02d}", bytes(s)))
+    return out
+
+
+def validate_gene(named, name: str, workdir: str, full_ygs: bool = True) -> dict:
+    seqs = make_sequence_set(named)
+    out = os.path.join(workdir, f"{name}.gfa")
+    args = Args(output=out, no_sort=not full_ygs)
+    sr = SeqRushTPU(seqs, args)
+    result = {"gene": name, "n_seqs": len(seqs), "total_bp": seqs.total_length}
+    try:
+        sr.align_and_unite()
+        graph = sr.write_gfa()
+    except Exception as e:  # hard failure
+        result["pass"] = False
+        result["error"] = str(e)[:200]
+        return result
+    errors = sr.validate_paths_match_sequences(graph)
+    errors += graph.validate_consistency()
+    ids = sorted(graph.nodes)
+    if full_ygs and ids != list(range(1, len(ids) + 1)):
+        errors.append("node ids not sequential after Ygs")
+    q = layout_quality(graph)
+    result.update(
+        {
+            "pass": not errors,
+            "nodes": graph.node_count(),
+            "edges": len(graph.edges),
+            "rmse_bp": round(q["rmse"], 2),
+            "mae_bp": round(q["mae"], 2),
+        }
+    )
+    if errors:
+        result["error"] = errors[0]
+    return result
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="validate_zoo")
+    p.add_argument("fastas", nargs="*", help="FASTA files (one gene family each)")
+    p.add_argument("--synthetic", type=int, default=0, help="generate N synthetic genes")
+    p.add_argument("--workdir", default="/tmp/seqrush_zoo")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--no-sort", action="store_true", help="skip the Ygs pipeline")
+    ns = p.parse_args(argv)
+    os.makedirs(ns.workdir, exist_ok=True)
+
+    jobs = []
+    if ns.synthetic:
+        rng = np.random.default_rng(ns.seed)
+        for i in range(ns.synthetic):
+            jobs.append((f"synth{i}", synth_gene(i, rng)))
+    for pattern in ns.fastas:
+        for path in sorted(glob.glob(pattern)):
+            seqs = load_fasta(path)
+            named = [(s.id, s.data.tobytes()) for s in seqs.sequences]
+            jobs.append((os.path.splitext(os.path.basename(path))[0], named))
+    if not jobs:
+        print("nothing to validate (pass FASTAs or --synthetic N)", file=sys.stderr)
+        return 2
+
+    results = []
+    for name, named in jobs:
+        r = validate_gene(named, name, ns.workdir, full_ygs=not ns.no_sort)
+        status = "PASS" if r.get("pass") else f"FAIL ({r.get('error', '?')})"
+        print(
+            f"{r['gene']:>10}: {r['n_seqs']:3d} seqs {r['total_bp']:>8d} bp -> "
+            f"{r.get('nodes', 0):>6} nodes, RMSE {r.get('rmse_bp', float('nan'))} bp  {status}"
+        )
+        results.append(r)
+    npass = sum(1 for r in results if r.get("pass"))
+    print(f"\n{npass}/{len(results)} graphs pass")
+    return 0 if npass == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
