@@ -58,6 +58,9 @@ class RunnerConfig:
     # alignment kernel: 'nw' = banded anti-diagonal Gotoh (shift-only,
     # TPU speed-of-light); 'wfa' = score-adaptive wavefront
     kernel: str = "nw"
+    # kernel implementation: 'auto' (pallas on TPU, XLA elsewhere),
+    # 'pallas', or 'xla'
+    kernel_impl: str = "auto"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -97,6 +100,7 @@ class WfaAligner:
             np.where(c < 4, 3 - c, c)[::-1].copy() for c in self.codes
         ]
         self.stats = {"alignments": 0, "dropped": 0, "wall_s": 0.0, "escalations": 0}
+        self._pallas_ok: bool | None = None
 
     # -- orientation ---------------------------------------------------------
 
@@ -232,14 +236,11 @@ class WfaAligner:
     # -- banded anti-diagonal Gotoh path --------------------------------------
 
     def _align_pairs_nw(self, pairs, order, is_rev, pen) -> list[AlignmentResult]:
-        from ..ops import nw
-
-        results: list[AlignmentResult] = []
         # bucket by length so padded shapes stay tight
+        chunks = []
         i = 0
         order = list(order)
         while i < len(order):
-            # take a chunk bounded by traceback memory
             chunk = []
             while i < len(order):
                 p = int(order[i])
@@ -254,15 +255,39 @@ class WfaAligner:
                     break
                 chunk.append((p, q, t))
                 i += 1
-            results.extend(self._run_nw_chunk(chunk, pairs, is_rev, pen))
+            chunks.append(chunk)
+
+        # pipeline: dispatch chunk k+1 (async device work) before the host
+        # traceback of chunk k
+        results: list[AlignmentResult] = []
+        inflight = None
+        for chunk in chunks:
+            dispatched = self._dispatch_nw_chunk(chunk, pen)
+            if inflight is not None:
+                results.extend(self._collect_nw_chunk(*inflight, pairs, is_rev))
+            inflight = dispatched
+        if inflight is not None:
+            results.extend(self._collect_nw_chunk(*inflight, pairs, is_rev))
         return results
 
-    def _run_nw_chunk(self, chunk, pairs, is_rev, pen) -> list[AlignmentResult]:
+    def _use_pallas(self) -> bool:
+        """Compiled pallas kernel on TPU backends; XLA kernel elsewhere."""
+        if self.cfg.kernel_impl == "pallas":
+            return True
+        if self.cfg.kernel_impl == "xla":
+            return False
+        if self._pallas_ok is None:
+            import jax
+
+            self._pallas_ok = jax.default_backend() == "tpu"
+        return self._pallas_ok
+
+    def _dispatch_nw_chunk(self, chunk, pen):
         from ..ops import nw
 
         band = max(self._band_for(q.size, t.size) for _, q, t in chunk)
         tmax = _round_up(max(q.size + t.size for _, q, t in chunk), 512)
-        B = _next_pow2(len(chunk))
+        B = max(_next_pow2(len(chunk)), 8)
         lq = _round_up(max(q.size for _, q, _ in chunk), 256)
         lt = _round_up(max(t.size for _, _, t in chunk), 256)
         Q = np.full((B, lq), wfa.QPAD, dtype=np.uint8)
@@ -274,11 +299,7 @@ class WfaAligner:
             T[b, : t.size] = t
             qlens[b] = q.size
             tlens[b] = t.size
-        scores, tb = nw.nw_align_device(
-            Q,
-            T,
-            qlens,
-            tlens,
+        kw = dict(
             mismatch=pen.mismatch,
             o1=pen.gap1_open,
             e1=pen.gap1_extend,
@@ -286,8 +307,21 @@ class WfaAligner:
             e2=pen.gap2_extend if pen.two_piece else -1,
             band=band,
             tmax=tmax,
-            with_traceback=True,
         )
+        if self._use_pallas():
+            try:
+                from ..ops import nw_pallas
+
+                scores, tb = nw_pallas.nw_align_pallas(Q, T, qlens, tlens, **kw)
+                return chunk, scores, tb, qlens, tlens, band
+            except Exception:
+                self._pallas_ok = False  # lowering failed: stick to XLA
+        scores, tb = nw.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
+        return chunk, scores, tb, qlens, tlens, band
+
+    def _collect_nw_chunk(self, chunk, scores, tb, qlens, tlens, band, pairs, is_rev):
+        from ..ops import nw
+
         scores = np.asarray(scores)
         tb = np.asarray(tb)
         out = []
