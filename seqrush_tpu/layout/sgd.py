@@ -52,6 +52,7 @@ class PathSGDParams:
     nthreads: int = 1  # accepted for parity; device parallelism is implicit
     progress: bool = False
     seed: int = 9399220  # reference worker seed base (path_sgd.rs:381)
+    n_sub: int = 8  # sequential sub-batches per iteration (mixing granularity)
 
 
 @dataclass
@@ -224,7 +225,7 @@ def path_linear_sgd(graph: BidirectedGraph, params: PathSGDParams) -> dict[int, 
     Hmain = np.concatenate([[0.0], np.cumsum(i_arr ** (-params.theta))]).astype(np.float32)
     Hcool = np.concatenate([[0.0], np.cumsum(i_arr ** (-0.001))]).astype(np.float32)
 
-    n_sub = 8
+    n_sub = max(1, params.n_sub)
     u_per_sub = max(1, -(-mtu // n_sub))
 
     node_of_step = np.array(
