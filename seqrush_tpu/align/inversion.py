@@ -125,7 +125,9 @@ def inversion_patch_alignments(results, aligner, min_match_length: int):
                 continue
             qw = aligner.codes[res.query_idx][gap.query_start : gap.query_end]
             tw = aligner.codes[res.target_idx][gap.target_start : gap.target_end]
-            rc_tw = np.where(tw < 4, 3 - tw, tw)[::-1].copy()
+            from ..pos import reverse_complement_codes
+
+            rc_tw = reverse_complement_codes(tw).copy()
             jobs.append((res, gap, qw, rc_tw))
     if not jobs:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)

@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..pos import encode_bases
+from ..pos import encode_bases, reverse_complement_codes
 from ..scores import AlignmentScores
 from ..sequences import SequenceSet
 from ..ops import wfa
@@ -95,10 +95,7 @@ class WfaAligner:
         self.seqs = seqs
         self.cfg = config or RunnerConfig()
         self.codes = [encode_bases(s.data) for s in seqs.sequences]
-        # RC in code space: complement of code b<4 is 3-b; N(4)/other(5) fixed
-        self.rc_codes = [
-            np.where(c < 4, 3 - c, c)[::-1].copy() for c in self.codes
-        ]
+        self.rc_codes = [reverse_complement_codes(c).copy() for c in self.codes]
         self.stats = {"alignments": 0, "dropped": 0, "wall_s": 0.0, "escalations": 0}
         self._pallas_ok: bool | None = None
 

@@ -91,18 +91,15 @@ def handle_str(handle) -> str:
 
 # -- Bases -------------------------------------------------------------------
 
-# Encoded bases: A=0 C=1 G=2 T=3, N=4, other=5.  Complement of code b (<4) is
-# 3-b; N and unknown map to themselves (rc keeps N as N, reference pos.rs:78-87).
-# Unknown characters keep their raw byte value (>= 8, so they never collide
-# with the ACGTN codes or the kernel pad values 6/7): two unknowns compare
-# equal iff the original bytes are equal, matching the reference's raw-byte
-# base comparison.
+# Encoded bases: A=0 C=1 G=2 T=3, N=4.  Characters outside uppercase ACGTN keep their raw byte value (>= 8, so
+# they never collide with the codes or the kernel pad values 6/7): two bases
+# compare equal iff the original bytes are equal.  This matches the
+# reference, whose WFA2 kernel and unite validation compare raw bytes
+# (case-sensitive; 'a' does not match 'A').
 _ENCODE_LUT = np.arange(256, dtype=np.uint8)
 for i, ch in enumerate(b"ACGT"):
     _ENCODE_LUT[ch] = i
-    _ENCODE_LUT[ch + 32] = i  # lowercase
 _ENCODE_LUT[ord("N")] = 4
-_ENCODE_LUT[ord("n")] = 4
 
 _DECODE_LUT = np.frombuffer(b"ACGTNX", dtype=np.uint8).copy()
 
@@ -112,7 +109,7 @@ for a, b in zip(b"ATCGNatcgn", b"TAGCNtagcn"):
 
 
 def encode_bases(data: bytes | np.ndarray) -> np.ndarray:
-    """ASCII bytes -> 2-bit-ish codes (uint8: 0..3 ACGT, 4 N, 5 other)."""
+    """ASCII bytes -> base codes (uint8: 0..3 ACGT, 4 N, raw byte otherwise)."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
     return _ENCODE_LUT[arr]
 
@@ -134,3 +131,19 @@ def reverse_complement(data) -> np.ndarray:
 
 def rc_byte(base: int) -> int:
     return int(_COMPLEMENT_BYTE_LUT[base])
+
+
+# complement in code space: ACGT codes complement as 3-b; N stays; raw-byte
+# codes (>= 8) complement through the byte LUT so e.g. 'a' (97) <-> 't' (116)
+_CODE_COMPLEMENT_LUT = _COMPLEMENT_BYTE_LUT.copy()
+for _i in range(4):
+    _CODE_COMPLEMENT_LUT[_i] = 3 - _i
+_CODE_COMPLEMENT_LUT[4] = 4
+_CODE_COMPLEMENT_LUT[5] = 5
+_CODE_COMPLEMENT_LUT[6] = 6
+_CODE_COMPLEMENT_LUT[7] = 7
+
+
+def reverse_complement_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement in base-code space (matches byte-level RC)."""
+    return _CODE_COMPLEMENT_LUT[np.asarray(codes, dtype=np.uint8)][::-1]

@@ -174,3 +174,27 @@ def test_gfa_output_format(tmp_path):
     # paths named after sequences
     pnames = [l.split("\t")[1] for l in lines if l.startswith("P")]
     assert pnames == ["s1", "s2"]
+
+
+def test_lowercase_sequences_reconstruct():
+    """Lowercase input reconstructs byte-for-byte; case is significant in
+    matching (the reference compares raw bytes)."""
+    base = generate_random_sequence(120, 30).lower()
+    sr, graph = run_pipeline([("lo1", base), ("lo2", base)])
+    assert_paths_reconstruct(sr, graph)
+    assert graph.node_count() == 120  # identical lowercase seqs unite
+
+    upper = base.upper()
+    sr2, g2 = run_pipeline([("lo", base), ("up", upper)])
+    assert_paths_reconstruct(sr2, g2)
+    # case difference prevents uniting: two disjoint chains
+    assert g2.node_count() == 240
+
+
+def test_mixed_case_rc_pair():
+    base = generate_random_sequence(100, 31).lower()
+    comp = bytes.maketrans(b"acgt", b"tgca")
+    rc = base.translate(comp)[::-1]
+    sr, g = run_pipeline([("f", base), ("r", rc)])
+    assert_paths_reconstruct(sr, g)
+    assert g.node_count() == 100  # RC pair collapses (lowercase-consistent)

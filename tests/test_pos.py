@@ -74,5 +74,20 @@ def test_reverse_complement():
 
 
 def test_encode():
+    codes = encode_bases(b"ACGTN")
+    assert list(codes) == [0, 1, 2, 3, 4]
+    # case-sensitive: lowercase keeps raw byte values (reference compares
+    # raw bytes, so 'a' never matches 'A')
+    lower = encode_bases(b"acgtn")
+    assert list(lower) == [ord(c) for c in "acgtn"]
+
+
+def test_rc_codes_roundtrip():
+    from seqrush_tpu.pos import reverse_complement_codes
+
     codes = encode_bases(b"ACGTNacgtn")
-    assert list(codes) == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+    rc2 = reverse_complement_codes(reverse_complement_codes(codes))
+    assert (rc2 == codes).all()
+    # code-space RC agrees with byte-space RC
+    byte_rc = encode_bases(reverse_complement(b"ACGTNacgtn"))
+    assert (reverse_complement_codes(codes) == byte_rc).all()
