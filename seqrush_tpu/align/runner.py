@@ -61,6 +61,9 @@ class RunnerConfig:
     # kernel implementation: 'auto' (pallas on TPU, XLA elsewhere),
     # 'pallas', or 'xla'
     kernel_impl: str = "auto"
+    # optional jax.sharding.Mesh with a 'data' axis: alignment batches are
+    # sharded on the batch dim across its devices (single-host multi-chip)
+    mesh: object = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -305,6 +308,25 @@ class WfaAligner:
             band=band,
             tmax=tmax,
         )
+        if self.cfg.mesh is not None:
+            # shard the batch dim over the mesh; the kernel is elementwise
+            # over pairs so XLA partitions it with zero communication
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n = self.cfg.mesh.devices.size
+            if B % n:
+                pad = ((B + n - 1) // n) * n - B
+                Q = np.concatenate([Q, np.full((pad, Q.shape[1]), wfa.QPAD, np.uint8)])
+                T = np.concatenate([T, np.full((pad, T.shape[1]), wfa.TPAD, np.uint8)])
+                qlens = np.concatenate([qlens, np.zeros(pad, np.int32)])
+                tlens = np.concatenate([tlens, np.zeros(pad, np.int32)])
+            sh = NamedSharding(self.cfg.mesh, P("data"))
+            Q, T, qlens, tlens = (jax.device_put(a, sh) for a in (Q, T, qlens, tlens))
+            from ..ops import nw as nw_mod
+
+            scores, tb = nw_mod.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
+            return chunk, scores, tb, np.asarray(qlens), np.asarray(tlens), band
         if self._use_pallas():
             try:
                 from ..ops import nw_pallas

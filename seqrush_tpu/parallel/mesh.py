@@ -36,7 +36,11 @@ from ..ops.unionfind import unite_edges
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
-    return jax.make_mesh((n,), ("data",), devices=devs[:n])
+    # Auto axis type: let GSPMD propagate shardings (Explicit mode rejects
+    # programs that mix sharded updates into unsharded loop carries)
+    return jax.make_mesh(
+        (n,), ("data",), devices=devs[:n], axis_types=(jax.sharding.AxisType.Auto,)
+    )
 
 
 def shard_batch(mesh: Mesh, *arrays):

@@ -57,3 +57,30 @@ def test_shard_count_invariance():
     for s, p in results[1:]:
         assert (s == s0).all()
         assert (p == p0).all()
+
+
+def test_runner_mesh_sharding_matches_single_device():
+    """The full runner produces identical alignments with and without a
+    data mesh (single-host multi-chip path)."""
+    from seqrush_tpu.align.pairs import all_ordered_pairs
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=200)].tobytes()
+    fam = [("s0", base)]
+    for k in range(1, 5):
+        alt = bytearray(base)
+        for pos in rng.integers(0, len(alt), size=4):
+            alt[pos] = bases[rng.integers(0, 4)]
+        fam.append((f"s{k}", bytes(alt)))
+    seqs = make_sequence_set(fam)
+    pairs = all_ordered_pairs(5)
+
+    plain = WfaAligner(seqs, RunnerConfig()).align_pairs(pairs)
+    mesh = make_mesh(4)
+    sharded = WfaAligner(seqs, RunnerConfig(mesh=mesh)).align_pairs(pairs)
+    a = [(r.query_idx, r.target_idx, r.score, r.cigar_string) for r in plain]
+    b = [(r.query_idx, r.target_idx, r.score, r.cigar_string) for r in sharded]
+    assert a == b
