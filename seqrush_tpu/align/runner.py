@@ -38,6 +38,9 @@ class AlignmentResult:
     is_reverse: bool
     score: int
     cigar: list[tuple[int, str]]  # standard ops =,X,I,D (query-consuming I)
+    # local-alignment starts (0 for global backends; RC-space when is_reverse)
+    query_start: int = 0
+    target_start: int = 0
 
     @property
     def cigar_string(self) -> str:

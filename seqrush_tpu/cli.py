@@ -66,13 +66,6 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     ns = build_parser().parse_args(argv)
     args = Args(**{k: v for k, v in vars(ns).items() if hasattr(Args, k)})
-    if args.aligner == "sweepga":
-        print(
-            "Note: the sweepga/FastGA backend is not bundled; falling back to "
-            "the wavefront (allwave-equivalent) backend. Use -p to feed "
-            "externally produced PAF alignments instead.",
-            file=sys.stderr,
-        )
     run_seqrush(args)
     print(f"Graph written to {args.output}")
     return 0

@@ -49,21 +49,26 @@ class PafRecord:
 
 
 def alignment_to_paf(result, seqs) -> PafRecord:
-    """AlignmentResult -> PAF (coordinates span full sequences, like allwave)."""
+    """AlignmentResult -> PAF (global backends span full sequences, like
+    allwave; local backends carry chain-span starts)."""
     q = seqs[result.query_idx]
     t = seqs[result.target_idx]
     matches = sum(n for n, op in result.cigar if op == "=")
     block = sum(n for n, op in result.cigar)
+    q_consumed = sum(n for n, op in result.cigar if op in "=XMI")
+    t_consumed = sum(n for n, op in result.cigar if op in "=XMD")
+    qs = getattr(result, "query_start", 0)
+    ts = getattr(result, "target_start", 0)
     return PafRecord(
         query_name=q.id,
         query_len=len(q.data),
-        query_start=0,
-        query_end=len(q.data),
+        query_start=qs,
+        query_end=qs + q_consumed,
         strand="-" if result.is_reverse else "+",
         target_name=t.id,
         target_len=len(t.data),
-        target_start=0,
-        target_end=len(t.data),
+        target_start=ts,
+        target_end=ts + t_consumed,
         residue_matches=matches,
         alignment_block_len=block,
         mapq=255,

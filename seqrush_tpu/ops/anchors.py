@@ -1,0 +1,141 @@
+"""Minimizer anchors and colinear chaining — the seed-and-extend backend.
+
+TPU-native analog of the reference's sweepga/FastGA path (SURVEY.md §2.4:
+k-mer index seed-and-extend aligner + 1:1 plane-sweep filter).  FastGA is an
+external C binary the reference shells out to; here the same capability is
+built in: exact-match minimizer anchors between a pair, a colinear chaining
+DP over the anchors, and (in align/sweep.py) banded Gotoh alignment of the
+inter-anchor gaps to produce full alignment records.
+
+All k-mers are packed exactly into int64 (2 bits/base, k <= 31), so anchors
+are exact matches by construction — no hash-collision verification needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..pos import reverse_complement_codes
+
+
+def packed_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, packed int64 values) of all ACGT-only k-mers."""
+    n = codes.size
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    c = codes.astype(np.int64)
+    valid = codes < 4
+    vals = np.zeros(n - k + 1, dtype=np.int64)
+    ok = np.ones(n - k + 1, dtype=bool)
+    for i in range(k):
+        vals = (vals << 2) | c[i : i + n - k + 1]
+        ok &= valid[i : i + n - k + 1]
+    pos = np.nonzero(ok)[0]
+    return pos.astype(np.int64), vals[ok]
+
+
+def minimizers(codes: np.ndarray, k: int = 15, w: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Window minimizers: positions/values of k-mers minimal (by a mixing
+    hash) in any window of w consecutive k-mers."""
+    pos, vals = packed_kmers(codes, k)
+    if pos.size == 0:
+        return pos, vals
+    # mix so minima are spread uniformly (uint64 wraparound multiply)
+    h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1)
+    if pos.size <= w:
+        sel = np.array([int(np.argmin(h))])
+    else:
+        m = pos.size - w + 1
+        stack = np.lib.stride_tricks.sliding_window_view(h, w)
+        arg = np.argmin(stack, axis=1) + np.arange(m)
+        sel = np.unique(arg)
+    return pos[sel], vals[sel]
+
+
+def anchor_matches(
+    q_codes: np.ndarray, t_codes: np.ndarray, k: int = 15, w: int = 10
+) -> np.ndarray:
+    """[A, 2] (qpos, tpos) exact k-mer anchors between minimizer sets."""
+    qp, qv = minimizers(q_codes, k, w)
+    tp, tv = minimizers(t_codes, k, w)
+    if qp.size == 0 or tp.size == 0:
+        return np.zeros((0, 2), np.int64)
+    # join on value
+    order_t = np.argsort(tv, kind="stable")
+    tv_s, tp_s = tv[order_t], tp[order_t]
+    lo = np.searchsorted(tv_s, qv, side="left")
+    hi = np.searchsorted(tv_s, qv, side="right")
+    counts = hi - lo
+    if counts.sum() == 0:
+        return np.zeros((0, 2), np.int64)
+    qidx = np.repeat(np.arange(qp.size), counts)
+    # positions within each run
+    offs = np.concatenate([np.arange(c) for c in counts if c > 0])
+    tidx = np.repeat(lo, counts) + offs
+    return np.stack([qp[qidx], tp_s[tidx]], axis=1)
+
+
+def chain_anchors(
+    anchors: np.ndarray, k: int = 15, max_gap: int = 5000, max_skew: int = 2000
+) -> np.ndarray:
+    """Best colinear chain via the classic anchor-chaining DP.
+
+    Returns the [C, 2] chained subset ordered by position.  Weight = k per
+    anchor minus gap-skew cost (like minimap2's simplified chaining).
+    """
+    if anchors.shape[0] == 0:
+        return anchors
+    order = np.lexsort((anchors[:, 1], anchors[:, 0]))
+    a = anchors[order]
+    n = a.shape[0]
+    f = np.full(n, float(k))
+    pred = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        qi, ti = a[i]
+        # candidate predecessors: limited lookback window keeps this near-linear
+        j0 = max(0, i - 64)
+        js = np.arange(j0, i)
+        if js.size == 0:
+            continue
+        qj = a[js, 0]
+        tj = a[js, 1]
+        ok = (qj < qi) & (tj < ti) & (qi - qj <= max_gap) & (ti - tj <= max_gap)
+        skew = np.abs((qi - qj) - (ti - tj))
+        ok &= skew <= max_skew
+        if not ok.any():
+            continue
+        gain = f[js] + k - 0.05 * skew - 0.01 * np.maximum(qi - qj, ti - tj)
+        gain = np.where(ok, gain, -np.inf)
+        best = int(np.argmax(gain))
+        if gain[best] > f[i]:
+            f[i] = gain[best]
+            pred[i] = js[best]
+    end = int(np.argmax(f))
+    chain = []
+    while end >= 0:
+        chain.append(end)
+        end = int(pred[end])
+    chain.reverse()
+    out = a[chain]
+    # drop anchors overlapping their predecessor inconsistently
+    keep = [0]
+    for i in range(1, out.shape[0]):
+        if out[i, 0] > out[keep[-1], 0] and out[i, 1] > out[keep[-1], 1]:
+            keep.append(i)
+    return out[keep]
+
+
+def chain_to_runs(chain: np.ndarray, k: int) -> list[tuple[int, int, int]]:
+    """Merge chained anchors into maximal exact-match runs
+    (q_start, t_start, len); overlapping colinear anchors coalesce."""
+    runs: list[list[int]] = []
+    for qpos, tpos in chain:
+        qpos, tpos = int(qpos), int(tpos)
+        if runs:
+            q0, t0, ln = runs[-1]
+            # same diagonal and overlapping/adjacent -> extend
+            if qpos - q0 == tpos - t0 and qpos <= q0 + ln:
+                runs[-1][2] = max(ln, qpos + k - q0)
+                continue
+        runs.append([qpos, tpos, k])
+    return [tuple(r) for r in runs]

@@ -76,7 +76,7 @@ class SeqRushTPU:
     def _result_to_unites(self, res, min_match_length: int) -> None:
         """Match runs of one alignment -> queued Pos pairs."""
         runs = [
-            (q, t, n)
+            (q + res.query_start, t + res.target_start, n)
             for q, t, n in _runs_of(res.cigar)
             if n >= max(min_match_length, 1)
         ]
@@ -114,6 +114,11 @@ class SeqRushTPU:
         if args.paf:
             self._align_from_paf(args.paf)
             return
+        if args.aligner == "sweepga":
+            # native seed-and-extend backend (minimizer chains + gap fill)
+            from .align.sweep import SweepAligner as _AlignerCls
+        else:
+            _AlignerCls = None
         scores = AlignmentScores.parse(args.scores)
         osc = AlignmentScores.parse_orientation(args.orientation_scores)
         cfg = RunnerConfig(
@@ -123,7 +128,7 @@ class SeqRushTPU:
             band_slack=args.band_slack,
             verbose=args.verbose,
         )
-        aligner = WfaAligner(self.seqs, cfg)
+        aligner = (_AlignerCls or WfaAligner)(self.seqs, cfg)
         n = len(self.seqs)
 
         spars = parse_sparsification(args.sparsification)
