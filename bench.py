@@ -81,6 +81,8 @@ def main():
     pairs = all_ordered_pairs(n)
 
     cfg = RunnerConfig(scores=AlignmentScores.parse("0,5,8,2,24,1"))
+    # one kernel shape for the whole workload: pairs chunk into a single
+    # padded batch, so the (cached) compile happens at most once
 
     # warmup: compile every (smax, band, bucket) shape on a subset
     warm = WfaAligner(seqs, cfg)

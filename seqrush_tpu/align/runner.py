@@ -61,9 +61,12 @@ class RunnerConfig:
     # alignment kernel: 'nw' = banded anti-diagonal Gotoh (shift-only,
     # TPU speed-of-light); 'wfa' = score-adaptive wavefront
     kernel: str = "nw"
-    # kernel implementation: 'auto' (pallas on TPU, XLA elsewhere),
-    # 'pallas', or 'xla'
-    kernel_impl: str = "auto"
+    # kernel implementation: 'xla' (default) or 'pallas'.  The pallas Gotoh
+    # kernel is validated bit-identical in interpret mode, but the axon
+    # TPU tunnel's remote-compile helper crashes on ANY pallas program
+    # (including trivial ones), so it must be opted into explicitly on
+    # environments with a direct TPU runtime.
+    kernel_impl: str = "xla"
     # optional jax.sharding.Mesh with a 'data' axis: alignment batches are
     # sharded on the batch dim across its devices (single-host multi-chip)
     mesh: object = None
@@ -274,16 +277,9 @@ class WfaAligner:
         return results
 
     def _use_pallas(self) -> bool:
-        """Compiled pallas kernel on TPU backends; XLA kernel elsewhere."""
-        if self.cfg.kernel_impl == "pallas":
-            return True
-        if self.cfg.kernel_impl == "xla":
+        if self._pallas_ok is False:
             return False
-        if self._pallas_ok is None:
-            import jax
-
-            self._pallas_ok = jax.default_backend() == "tpu"
-        return self._pallas_ok
+        return self.cfg.kernel_impl == "pallas"
 
     def _dispatch_nw_chunk(self, chunk, pen):
         from ..ops import nw

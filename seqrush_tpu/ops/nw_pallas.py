@@ -38,8 +38,8 @@ TB_CHUNK = 128  # traceback rows staged in VMEM between HBM flushes
 def _kernel(
     q_ref,  # [G, Lq] int32 (VMEM)
     trev_ref,  # [G, Lt + 2W] int32, reversed target padded both sides (VMEM)
-    qlens_ref,  # [G, 1] int32 (SMEM)
-    tlens_ref,  # [G, 1] int32 (SMEM)
+    qlens_ref,  # [G, 1] int32 (VMEM)
+    tlens_ref,  # [G, 1] int32 (VMEM)
     scores_ref,  # [G, 1] int32 out (VMEM)
     tb_ref,  # [G, TMAX_PAD, W] uint8 out (ANY/HBM)
     h1,
@@ -90,11 +90,14 @@ def _kernel(
     def frame(x, delta):
         return jnp.where(delta == -1, shift_hi(x), jnp.where(delta == 0, x, shift_lo(x)))
 
+    g = pl.program_id(0)
+
     def flush(chunk_idx):
-        """Copy the staged traceback rows out to HBM."""
+        """Copy the staged traceback rows out to HBM (full-array ref in
+        ANY memory space; the group offset is applied manually)."""
         copy = pltpu.make_async_copy(
             tb_stage,
-            tb_ref.at[:, pl.ds(chunk_idx * TB_CHUNK, TB_CHUNK), :],
+            tb_ref.at[pl.ds(g * GROUP, GROUP), pl.ds(chunk_idx * TB_CHUNK, TB_CHUNK), :],
             dma_sem,
         )
         copy.start()
@@ -243,14 +246,12 @@ def nw_align_pallas(
         in_specs=[
             pl.BlockSpec((GROUP, Qi.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, Trev.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, 1), lambda g: (g, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((GROUP, 1), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((GROUP, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (GROUP, tmax_pad, W), lambda g: (g, 0, 0), memory_space=pltpu.ANY
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full array; group offset in-kernel
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
