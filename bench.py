@@ -80,9 +80,14 @@ def main():
     n = len(seqs)
     pairs = all_ordered_pairs(n)
 
-    cfg = RunnerConfig(scores=AlignmentScores.parse("0,5,8,2,24,1"))
-    # one kernel shape for the whole workload: pairs chunk into a single
-    # padded batch, so the (cached) compile happens at most once
+    # memory budget sized so chunks cap at 64 pairs: every kernel shape the
+    # workload needs is then covered by the persistent compile cache after
+    # the warmup run (large one-off compiles are the main risk over the
+    # tunneled TPU)
+    cfg = RunnerConfig(
+        scores=AlignmentScores.parse("0,5,8,2,24,1"),
+        memory_budget_bytes=int(1.7e8),
+    )
 
     # warmup: compile every (smax, band, bucket) shape on a subset
     warm = WfaAligner(seqs, cfg)
