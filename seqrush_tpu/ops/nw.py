@@ -86,8 +86,10 @@ def nw_align_device(
     qlens = qlens.astype(jnp.int32)
     tlens = tlens.astype(jnp.int32)
 
-    # reversed target (padded) for the per-step window slice
-    Trev = T[:, ::-1]
+    # padded sequence views (loop-invariant; hoisted out of the sweep body)
+    W_pad = K + 1
+    Qp = jnp.pad(Q, ((0, 0), (1, W_pad)), constant_values=QPAD)
+    Trev = jnp.pad(T[:, ::-1], ((0, 0), (W_pad, W_pad)), constant_values=TPAD)
 
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
 
@@ -144,15 +146,12 @@ def nw_align_device(
         d2_left = frame(D2r, dp)
 
         # substitution: q[i-1] vs t[j-1] (1-based cells)
-        qp = jnp.pad(Q, ((0, 0), (1, W)), constant_values=QPAD)
         qwin = jax.lax.dynamic_slice_in_dim(
-            qp, jnp.clip(i0, 0, qp.shape[1] - W), W, axis=1
+            Qp, jnp.clip(i0, 0, Qp.shape[1] - W), W, axis=1
         )
-        # t[j-1] with j = t - i decreasing in lane: Trev[Lt-1 - (j-1)] =
-        # Trev[Lt - t + i] -> slice Trev (padded left by 1... index Lt-j)
-        trev_p = jnp.pad(Trev, ((0, 0), (W, W)), constant_values=TPAD)
+        # t[j-1] with j = t - i decreasing in lane: Trev index Lt - t + i
         twin = jax.lax.dynamic_slice_in_dim(
-            trev_p, jnp.clip(Lt - t + i0 + W, 0, trev_p.shape[1] - W), W, axis=1
+            Trev, jnp.clip(Lt - t + i0 + W, 0, Trev.shape[1] - W), W, axis=1
         )
         sub = jnp.where(qwin == twin, 0, mismatch).astype(jnp.int32)
 
@@ -219,7 +218,9 @@ def nw_align_device(
         return (Hn, H1, I1n, D1n, I2n, D2n, scores, tb)
 
     state = (H1, H2, I1r, D1r, I2r, D2r, scores, tb0)
-    state = jax.lax.fori_loop(1, tmax + 1, body, state)
+    # unroll amortizes the per-iteration while-loop overhead (the body is
+    # tiny relative to TPU loop fixed costs); trip count is static
+    state = jax.lax.fori_loop(1, tmax + 1, body, state, unroll=4)
     scores = state[6]
     tb = state[7]
     return scores, tb
