@@ -220,7 +220,7 @@ def nw_align_device(
     state = (H1, H2, I1r, D1r, I2r, D2r, scores, tb0)
     # unroll amortizes the per-iteration while-loop overhead (the body is
     # tiny relative to TPU loop fixed costs); trip count is static
-    state = jax.lax.fori_loop(1, tmax + 1, body, state, unroll=4)
+    state = jax.lax.fori_loop(1, tmax + 1, body, state, unroll=2)
     scores = state[6]
     tb = state[7]
     return scores, tb
