@@ -107,6 +107,27 @@ def main():
         f"{aligner.stats['dropped']} dropped)",
         file=sys.stderr,
     )
+
+    # end-to-end FASTA->GFA wall-clock (BASELINE.md's e2e row; stderr only —
+    # the JSON metric stays the alignment-throughput north star)
+    try:
+        from seqrush_tpu.config import Args
+        from seqrush_tpu.pipeline import SeqRushTPU
+
+        seqs2 = make_sequence_set(synth_hla())
+        sr = SeqRushTPU(seqs2, Args(output="/tmp/bench_e2e.gfa"))
+        t0 = time.time()
+        sr.align_and_unite()
+        g = sr.write_gfa()
+        e2e = time.time() - t0
+        print(
+            f"[bench] e2e FASTA->GFA: {e2e:.2f}s "
+            f"({g.node_count()} nodes, validated)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # never let the e2e extra break the metric line
+        print(f"[bench] e2e run failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
