@@ -461,36 +461,47 @@ class WfaAligner:
         return results, retries
 
     def _score_batches(self, qs, ts, pen, score_only=True) -> np.ndarray:
-        """Score-only batched alignment (used by the orientation pre-check)."""
+        """Score-only batched edit-distance alignment for the orientation
+        pre-check.  Uses the banded Gotoh kernel (nw): fixed trip count and
+        the same program class as the main aligner (the score-adaptive WFA
+        probe is avoided — its while-loop programs crash the axon tunnel's
+        remote compiler)."""
+        from ..ops import nw
+
         out = np.full(len(qs), -1, dtype=np.int64)
         idx = np.argsort([max(q.size, t.size) for q, t in zip(qs, ts)], kind="stable")
-        CHUNK = 256
+        CHUNK = 64
         for lo in range(0, len(idx), CHUNK):
             sel = idx[lo : lo + CHUNK]
             bq = [qs[k] for k in sel]
             bt = [ts[k] for k in sel]
-            Q, T, qlens, tlens = _quantized_pack(bq, bt)
-            maxlen = int(max(qlens.max(), tlens.max()))
+            B = max(_next_pow2(len(sel)), 8)
+            lq = _round_up(max(q.size for q in bq), 256)
+            lt = _round_up(max(t.size for t in bt), 256)
+            Q = np.full((B, lq), wfa.QPAD, np.uint8)
+            T = np.full((B, lt), wfa.TPAD, np.uint8)
+            qlens = np.zeros(B, np.int32)
+            tlens = np.zeros(B, np.int32)
+            for b, (q, t) in enumerate(zip(bq, bt)):
+                Q[b, : q.size] = q
+                T[b, : t.size] = t
+                qlens[b] = q.size
+                tlens[b] = t.size
             band = max(self._band_for(int(q.size), int(t.size)) for q, t in zip(bq, bt))
-            # a capped probe suffices: only the fwd-vs-rc comparison matters,
-            # and the better orientation of related sequences completes well
-            # under 0.35*L edit cost; both hitting the cap => ambiguous
-            smax = _round_up(max(256, int(0.35 * (pen.mismatch + pen.gap1_extend) * maxlen)), 256)
-            caps = np.full(len(qlens), smax, dtype=np.int32)
-            scores, _ = wfa.wfa_align_device(
+            tmax = _round_up(int((qlens + tlens).max()) + 1, 512)
+            scores, _ = nw.nw_align_device(
                 Q,
                 T,
                 qlens,
                 tlens,
-                caps,
                 mismatch=pen.mismatch,
                 o1=pen.gap1_open,
                 e1=pen.gap1_extend,
                 o2=-1,
                 e2=-1,
-                smax=smax,
                 band=band,
-                keep_history=False,
+                tmax=tmax,
+                with_traceback=False,
             )
             out[sel] = np.asarray(scores)[: len(sel)]
         return out
