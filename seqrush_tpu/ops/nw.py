@@ -218,9 +218,11 @@ def nw_align_device(
         return (Hn, H1, I1n, D1n, I2n, D2n, scores, tb)
 
     state = (H1, H2, I1r, D1r, I2r, D2r, scores, tb0)
-    # unroll amortizes the per-iteration while-loop overhead (the body is
-    # tiny relative to TPU loop fixed costs); trip count is static
-    state = jax.lax.fori_loop(1, tmax + 1, body, state, unroll=2)
+    # NOTE: unroll>1 would amortize per-iteration loop overhead (~2x at
+    # unroll=4 by microbenchmark projection) but doubles the program the
+    # axon tunnel's remote compiler must chew; proven-safe configuration
+    # first — revisit once compiles are cached
+    state = jax.lax.fori_loop(1, tmax + 1, body, state)
     scores = state[6]
     tb = state[7]
     return scores, tb
