@@ -26,11 +26,34 @@ Pos values (offset<<1|orient) index directly (bidirected_union_find.rs:16-24).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def compute_device():
+    """Device context for union-find programs.
+
+    On the tunneled axon TPU, compiling extra program shapes is slow and
+    risky (the remote compile helper has crashed on while-loop programs),
+    and the union-find is a tiny fraction of total work for typical inputs —
+    so it runs on the host CPU backend there.  On real TPU runtimes and in
+    CPU tests this is a no-op (the default device is used; the mesh path in
+    parallel/mesh.py always runs the unite on device).
+    """
+    try:
+        if jax.default_backend() == "tpu" and any(
+            d.platform == "axon" for d in jax.devices()
+        ):
+            cpus = jax.devices("cpu")
+            if cpus:
+                return jax.default_device(cpus[0])
+    except Exception:
+        pass
+    return contextlib.nullcontext()
 
 
 def create(capacity: int) -> jnp.ndarray:
@@ -134,9 +157,10 @@ class BidirectedUnionFind:
     # -- bulk (preferred) ----------------------------------------------------
 
     def unite_batch(self, u, v) -> None:
-        u = jnp.asarray(np.asarray(u, dtype=np.int32))
-        v = jnp.asarray(np.asarray(v, dtype=np.int32))
-        self.parent = unite_edges(self.parent, u, v)
+        with compute_device():
+            u = jnp.asarray(np.asarray(u, dtype=np.int32))
+            v = jnp.asarray(np.asarray(v, dtype=np.int32))
+            self.parent = unite_edges(self.parent, u, v)
         self._dirty = False
 
     def roots(self) -> np.ndarray:

@@ -40,10 +40,11 @@ class SeqRushTPU:
         self.seqs = seqs
         self.args = args or Args()
         self.total_length = seqs.total_length
-        self.parent = uf.create((self.total_length << 1) + 2)
-        # pre-unite F/R of every position (reference seqrush.rs:324-328)
-        i = np.arange(self.total_length, dtype=np.int64)
-        self.parent = uf.unite_edges(self.parent, i << 1, (i << 1) | 1)
+        with uf.compute_device():
+            self.parent = uf.create((self.total_length << 1) + 2)
+            # pre-unite F/R of every position (reference seqrush.rs:324-328)
+            i = np.arange(self.total_length, dtype=np.int64)
+            self.parent = uf.unite_edges(self.parent, i << 1, (i << 1) | 1)
         self._edge_u: list[np.ndarray] = []
         self._edge_v: list[np.ndarray] = []
         self.stats: dict = {}
@@ -71,7 +72,8 @@ class SeqRushTPU:
         u = np.concatenate(self._edge_u)
         v = np.concatenate(self._edge_v)
         self._edge_u, self._edge_v = [], []
-        self.parent = uf.unite_edges(self.parent, u, v)
+        with uf.compute_device():
+            self.parent = uf.unite_edges(self.parent, u, v)
 
     def _result_to_unites(self, res, min_match_length: int) -> None:
         """Match runs of one alignment -> queued Pos pairs."""
@@ -105,9 +107,10 @@ class SeqRushTPU:
                 f"checkpoint size {arr.size} does not match sequence space "
                 f"{(self.total_length << 1) + 2}"
             )
-        self.parent = uf.unite_edges(
-            uf.create(arr.size), np.arange(arr.size, dtype=np.int64), arr.astype(np.int64)
-        )
+        with uf.compute_device():
+            self.parent = uf.unite_edges(
+                uf.create(arr.size), np.arange(arr.size, dtype=np.int64), arr.astype(np.int64)
+            )
 
     def align_and_unite(self) -> None:
         args = self.args
