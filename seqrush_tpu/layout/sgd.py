@@ -232,7 +232,10 @@ def path_linear_sgd(graph: BidirectedGraph, params: PathSGDParams) -> dict[int, 
         [id_to_idx[int(h) >> 1] for h in index.step_handle], dtype=np.int32
     )
 
-    x = _sgd_run(
+    from ..ops.unionfind import compute_device
+
+    with compute_device():
+        x = _sgd_run(
         jnp.asarray(x0),
         jnp.asarray(node_of_step),
         jnp.asarray(index.step_pos),
@@ -245,9 +248,9 @@ def path_linear_sgd(graph: BidirectedGraph, params: PathSGDParams) -> dict[int, 
         jnp.asarray(etas.astype(np.float32)),
         jnp.asarray(first_cooling, dtype=jnp.int32),
         params.seed,
-        n_sub=n_sub,
-        u_per_sub=int(u_per_sub),
-    )
+            n_sub=n_sub,
+            u_per_sub=int(u_per_sub),
+        )
     x = np.asarray(x)
     return {nid: float(x[k]) for k, nid in enumerate(node_ids)}
 
