@@ -1,20 +1,27 @@
 """Batched alignment runner: orientation pre-check, length-bucketed batching,
-score-cap escalation, and match-run extraction.
+chunk pipelining, and divergence filtering.
 
 This is the TPU-native counterpart of the allwave all-pairs driver
 (/root/reference/src/seqrush.rs:611-757 + the allwave crate): where the
 reference fans pairs out to rayon threads each calling the WFA2 C kernel, we
-pack pairs into padded device batches and run them through the shared-score
-wavefront kernel (ops/wfa.py).  Orientation per pair is decided by a cheap
-single-piece edit-distance wavefront with the '0,1,1,1' orientation scores
-(reference --orientation-scores, seqrush.rs:48-50), forward vs
-reverse-complemented query, smaller score wins (ties -> forward).
+pack pairs into padded, shape-quantized device batches and run them through
+one of two exact kernels:
 
-Escalation: without a divergence cap the optimal score is unknown, so batches
-run with a modest score budget and unfinished pairs retry with 4x the budget
-up to a guaranteed-completion bound.  With --max-divergence, each pair gets
-the reference's score cap (scores.rs max_score_for_divergence) and pairs that
-exceed it are dropped, like a non-completing WFA2 run.
+* kernel="nw" (default): banded anti-diagonal Gotoh sweep (ops/nw.py) —
+  fixed trip count, single pass, divergence caps applied as a post-filter
+  (the optimal score is always computed);
+* kernel="wfa": score-adaptive wavefront (ops/wfa.py) with score-budget
+  escalation (4x retries up to a guaranteed-completion bound); with
+  --max-divergence, pairs exceeding the reference's cap are dropped like a
+  non-completing WFA2 run.
+
+Orientation per pair: a mash-style k-mer sketch fwd-vs-RC comparison decides
+clear cases in one pass; ambiguous pairs get an exact banded edit-distance
+probe with the '0,1,1,1' orientation scores (reference --orientation-scores,
+seqrush.rs:48-50), smaller score wins, ties forward.
+
+Chunks are double-buffered: the device computes chunk k+1 while the host
+runs chunk k's traceback (C++).
 """
 
 from __future__ import annotations
@@ -113,11 +120,10 @@ class WfaAligner:
     def choose_orientations(self, pairs: np.ndarray) -> np.ndarray:
         """bool[P]: True where the query should be reverse-complemented.
 
-        Two-stage: a mash-style k-mer sketch comparison (one device matmul
-        over fwd and RC sketches) decides clear cases; only ambiguous pairs
-        fall back to the reference's edit-distance wavefront probe
-        ('0,1,1,1' orientation scores), score-capped since only the
-        comparison matters, not the exact distance.
+        Two-stage: a mash-style k-mer sketch comparison (fwd and RC sketches)
+        decides clear cases; ambiguous pairs fall back to an exact banded
+        edit-distance probe with the reference's '0,1,1,1' orientation
+        scores.
         """
         osc = self.cfg.orientation_scores
         P = len(pairs)

@@ -198,3 +198,13 @@ def test_mixed_case_rc_pair():
     sr, g = run_pipeline([("f", base), ("r", rc)])
     assert_paths_reconstruct(sr, g)
     assert g.node_count() == 100  # RC pair collapses (lowercase-consistent)
+
+
+def test_max_divergence_drops_unrelated():
+    """--max-divergence drops alignments whose optimal score exceeds the
+    reference cap formula; unrelated sequences stay un-united."""
+    a = generate_random_sequence(150, 40)
+    b = generate_random_sequence(150, 41)  # unrelated
+    sr, g = run_pipeline([("a", a), ("b", b)], max_divergence=0.05)
+    assert sr.stats["aligner"]["dropped"] >= 2  # both directions dropped
+    assert g.node_count() == 300  # nothing united
