@@ -49,3 +49,4 @@ class Args:
     band_slack: int = 128
     seed: int = 42
     inversion_aware: bool = False  # reference inversion_aware_seqrush mode
+    mesh_devices: int | None = None  # shard alignment batches over N devices

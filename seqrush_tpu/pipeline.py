@@ -124,12 +124,18 @@ class SeqRushTPU:
             _AlignerCls = None
         scores = AlignmentScores.parse(args.scores)
         osc = AlignmentScores.parse_orientation(args.orientation_scores)
+        mesh = None
+        if args.mesh_devices:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.mesh_devices)
         cfg = RunnerConfig(
             scores=scores,
             orientation_scores=osc,
             max_divergence=args.max_divergence,
             band_slack=args.band_slack,
             verbose=args.verbose,
+            mesh=mesh,
         )
         aligner = (_AlignerCls or WfaAligner)(self.seqs, cfg)
         n = len(self.seqs)

@@ -84,3 +84,30 @@ def test_runner_mesh_sharding_matches_single_device():
     a = [(r.query_idx, r.target_idx, r.score, r.cigar_string) for r in plain]
     b = [(r.query_idx, r.target_idx, r.score, r.cigar_string) for r in sharded]
     assert a == b
+
+
+def test_full_pipeline_gfa_mesh_invariance(tmp_path):
+    """The complete FASTA->GFA pipeline emits byte-identical GFA whether the
+    alignment batches run on 1 device or sharded over 2/8 devices."""
+    from seqrush_tpu.config import Args
+    from seqrush_tpu.pipeline import SeqRushTPU
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=250)].tobytes()
+    fam = [("s0", base)]
+    for k in range(1, 4):
+        alt = bytearray(base)
+        for pos in rng.integers(0, len(alt), size=5):
+            alt[pos] = bases[rng.integers(0, 4)]
+        fam.append((f"s{k}", bytes(alt)))
+
+    outputs = []
+    for n in (None, 2, 8):
+        out = str(tmp_path / f"m{n}.gfa")
+        sr = SeqRushTPU(make_sequence_set(fam), Args(output=out, mesh_devices=n))
+        sr.align_and_unite()
+        sr.write_gfa()
+        outputs.append(open(out).read())
+    assert outputs[0] == outputs[1] == outputs[2]
