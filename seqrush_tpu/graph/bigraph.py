@@ -268,6 +268,32 @@ class BidirectedGraph:
                     errors.append(f"Path {path.name} references non-existent node: {int(h)}")
         return errors
 
+    def comprehensive_verify(self, originals: dict[str, bytes] | None = None) -> list[str]:
+        """Full structural verification (reference graph_ops.rs
+        comprehensive_verify, :689-1141): consistency, path-edge support,
+        connected components vs path coverage, optional sequence equality."""
+        errors = self.validate_consistency()
+        # every consecutive path step must have a supporting edge
+        for path in self.paths:
+            for a, b in zip(path.steps[:-1], path.steps[1:]):
+                if not self.has_edge(int(a), int(b)):
+                    errors.append(
+                        f"Path {path.name}: missing edge {handle_str(a)} -> {handle_str(b)}"
+                    )
+        # nodes unreachable from any path are orphans
+        covered = set()
+        for path in self.paths:
+            covered.update(int(h) >> 1 for h in path.steps)
+        orphans = set(self.nodes) - covered
+        if orphans:
+            errors.append(f"{len(orphans)} nodes not covered by any path")
+        if originals is not None:
+            for path in self.paths:
+                want = originals.get(path.name)
+                if want is not None and self.path_sequence(path).tobytes() != want:
+                    errors.append(f"Path {path.name} does not reconstruct its sequence")
+        return errors
+
     # -- GFA -----------------------------------------------------------------
 
     def write_gfa(self, fh) -> None:

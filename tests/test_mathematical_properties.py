@@ -154,3 +154,23 @@ def test_order_of_unite_irrelevant():
         perm = np.random.default_rng(seed).permutation(len(edges))
         p2 = np.asarray(uf.unite_edges(uf.create(n), edges[perm, 0], edges[perm, 1]))
         assert (p1 == p2).all()
+
+
+def test_comprehensive_verify_and_gfa_roundtrip(tmp_path):
+    """comprehensive_verify passes on pipeline output, and parsing the
+    emitted GFA back reproduces an equivalent graph (format check)."""
+    from seqrush_tpu.graph.bigraph import parse_gfa
+
+    base = rand_seq(150, 20)
+    alt = bytearray(base)
+    alt[70] = BASES[(alt[70] + 1) % 4]
+    sr, g = run([("a", base), ("b", bytes(alt))], no_compact=False)
+    originals = {"a": base, "b": bytes(alt)}
+    assert g.comprehensive_verify(originals) == []
+
+    text = g.to_gfa_string()
+    g2 = parse_gfa(text)
+    assert g2.comprehensive_verify(originals) == []
+    assert sorted(g2.nodes) == sorted(g.nodes)
+    assert len(g2.edges) == len(g.edges)
+    assert g2.to_gfa_string() == text  # stable round-trip
