@@ -115,7 +115,10 @@ def main():
         from seqrush_tpu.pipeline import SeqRushTPU
 
         seqs2 = make_sequence_set(synth_hla())
-        sr = SeqRushTPU(seqs2, Args(output="/tmp/bench_e2e.gfa"))
+        sr = SeqRushTPU(
+            seqs2,
+            Args(output="/tmp/bench_e2e.gfa", memory_budget_bytes=int(1.7e8)),
+        )
         t0 = time.time()
         sr.align_and_unite()
         g = sr.write_gfa()

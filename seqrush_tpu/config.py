@@ -50,3 +50,4 @@ class Args:
     seed: int = 42
     inversion_aware: bool = False  # reference inversion_aware_seqrush mode
     mesh_devices: int | None = None  # shard alignment batches over N devices
+    memory_budget_bytes: int = int(1.5e9)  # device memory per alignment chunk

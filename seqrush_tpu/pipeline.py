@@ -136,6 +136,7 @@ class SeqRushTPU:
             band_slack=args.band_slack,
             verbose=args.verbose,
             mesh=mesh,
+            memory_budget_bytes=args.memory_budget_bytes,
         )
         aligner = (_AlignerCls or WfaAligner)(self.seqs, cfg)
         n = len(self.seqs)
