@@ -134,7 +134,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "hla_allpairs_wfa_alignments_per_s",
+                "metric": "hla_allpairs_alignments_per_s",
                 "value": round(value, 2),
                 "unit": "alignments/s",
                 "vs_baseline": round(value / BASELINE_ALIGNMENTS_PER_S, 3),
