@@ -132,45 +132,48 @@ def inversion_patch_alignments(results, aligner, min_match_length: int):
     if not jobs:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
-    Q, T, qlens, tlens = wfa.pack_batch([j[2] for j in jobs], [j[3] for j in jobs])
-    maxw = int(max(qlens.max(), tlens.max()))
-    # accept threshold: clearly better than a divergent window
-    caps = np.array(
-        [max(1, (sc.mismatch_penalty * max(int(ql), int(tl))) // 2 - 1) for ql, tl in zip(qlens, tlens)],
-        dtype=np.int32,
-    )
-    band = min(maxw + 1, max(64, abs(int(qlens.max()) - int(tlens.min())) + 64))
-    smax = int(caps.max()) + 1
-    scores, hists = wfa.wfa_align_device(
+    from ..ops import nw
+
+    B = max(1 << (len(jobs) - 1).bit_length(), 8)
+    lq = max(j[2].size for j in jobs)
+    lt = max(j[3].size for j in jobs)
+    Q = np.full((B, lq + 1), nw.QPAD, np.uint8)
+    T = np.full((B, lt + 1), nw.TPAD, np.uint8)
+    qlens = np.zeros(B, np.int32)
+    tlens = np.zeros(B, np.int32)
+    for b, (_, _, qw, rc_tw) in enumerate(jobs):
+        Q[b, : qw.size] = qw
+        T[b, : rc_tw.size] = rc_tw
+        qlens[b] = qw.size
+        tlens[b] = rc_tw.size
+    band = min(max(lq, lt) + 1, max(64, int(np.abs(qlens - tlens).max()) + 64))
+    tmax = int((qlens + tlens).max()) + 1
+    scores, tb = nw.nw_align_device(
         Q,
         T,
         qlens,
         tlens,
-        caps,
         mismatch=pen.mismatch,
         o1=pen.gap1_open,
         e1=pen.gap1_extend,
         o2=pen.gap2_open if pen.two_piece else -1,
         e2=pen.gap2_extend if pen.two_piece else -1,
-        smax=smax,
         band=band,
-        keep_history=True,
+        tmax=tmax,
+        with_traceback=True,
     )
     scores = np.asarray(scores)
-    hists = {k: np.asarray(v) for k, v in hists.items()}
+    tb = np.asarray(tb)
 
     us, vs = [], []
     for b, (res, gap, qw, rc_tw) in enumerate(jobs):
-        if scores[b] < 0:
+        # acceptance (reference rule): the inverted-window alignment must be
+        # clearly better than an all-divergent window
+        cap = max(1, (sc.mismatch_penalty * max(int(qlens[b]), int(tlens[b]))) // 2 - 1)
+        if scores[b] < 0 or scores[b] > cap:
             continue
-        items = wfa.backtrace_pair(
-            {k: v[b] for k, v in hists.items()},
-            int(scores[b]),
-            int(qlens[b]),
-            int(tlens[b]),
-            band,
-            pen,
-        )
+        items = nw.traceback_pair(tb[b], int(qlens[b]), int(tlens[b]), band)
+        items = nw.resolve_matches(items, qw, rc_tw)
         qseq = aligner.seqs[res.query_idx]
         tseq = aligner.seqs[res.target_idx]
         t_win_len = gap.target_end - gap.target_start
