@@ -77,6 +77,10 @@ class RunnerConfig:
     # optional jax.sharding.Mesh with a 'data' axis: alignment batches are
     # sharded on the batch dim across its devices (single-host multi-chip)
     mesh: object = None
+    # walk tracebacks on device (reverse scan) and transfer only 2-bit
+    # opcodes (~W times less host-link traffic than the packed byte tensor);
+    # False fetches the byte tensor and walks on the host (C++/Python spec)
+    device_traceback: bool = True
 
 
 def _round_up(x: int, m: int) -> int:
@@ -331,23 +335,36 @@ class WfaAligner:
             from ..ops import nw as nw_mod
 
             scores, tb = nw_mod.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
-            return chunk, scores, tb, np.asarray(qlens), np.asarray(tlens), band
+            return self._finish_dispatch(chunk, scores, tb, np.asarray(qlens), np.asarray(tlens), band, kw)
         if self._use_pallas():
             try:
                 from ..ops import nw_pallas
 
                 scores, tb = nw_pallas.nw_align_pallas(Q, T, qlens, tlens, **kw)
-                return chunk, scores, tb, qlens, tlens, band
+                return self._finish_dispatch(chunk, scores, tb, qlens, tlens, band, kw)
             except Exception:
                 self._pallas_ok = False  # lowering failed: stick to XLA
         scores, tb = nw.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
-        return chunk, scores, tb, qlens, tlens, band
+        return self._finish_dispatch(chunk, scores, tb, qlens, tlens, band, kw)
 
-    def _collect_nw_chunk(self, chunk, scores, tb, qlens, tlens, band, pairs, is_rev):
+    def _finish_dispatch(self, chunk, scores, tb, qlens, tlens, band, kw):
+        """Optionally run the device traceback scan before returning the
+        in-flight handle (tb stays on device in that mode)."""
+        if self.cfg.device_traceback:
+            from ..ops import nw
+
+            opcodes = nw.traceback_scan_device(
+                tb, qlens, tlens, band=band, tmax=kw["tmax"]
+            )
+            return chunk, scores, ("ops", opcodes), qlens, tlens, band
+        return chunk, scores, ("tb", tb), qlens, tlens, band
+
+    def _collect_nw_chunk(self, chunk, scores, payload, qlens, tlens, band, pairs, is_rev):
         from ..ops import nw
 
         scores = np.asarray(scores)
-        tb = np.asarray(tb)
+        mode, data = payload
+        data = np.asarray(data)
         out = []
         for b, (p, q, t) in enumerate(chunk):
             qi, tj = pairs[p]
@@ -359,7 +376,10 @@ class WfaAligner:
             if score > cap:
                 self.stats["dropped"] += 1  # exceeds divergence cap
                 continue
-            items = nw.traceback_pair(tb[b], int(qlens[b]), int(tlens[b]), band)
+            if mode == "ops":
+                items = nw.decode_opcodes(data[b])
+            else:
+                items = nw.traceback_pair(data[b], int(qlens[b]), int(tlens[b]), band)
             items = nw.resolve_matches(items, q, t)
             out.append(AlignmentResult(int(qi), int(tj), bool(is_rev[p]), score, items))
         return out

@@ -334,3 +334,113 @@ def resolve_matches(
             elif op == "D":
                 ti += n
     return out
+
+
+# -----------------------------------------------------------------------------
+# Device-side traceback: reverse scan over anti-diagonals
+# -----------------------------------------------------------------------------
+
+OP_NONE, OP_M, OP_I, OP_D = 0, 1, 2, 3
+
+
+@functools.partial(jax.jit, static_argnames=("band", "tmax"))
+def traceback_scan_device(tb, qlens, tlens, *, band: int, tmax: int):
+    """Walk every pair's optimal path on device; returns opcodes [B, tmax+1].
+
+    The host walk (traceback_pair) reads one packed byte per step, which
+    forces the whole [B, tmax, W] byte tensor across the host link.  The walk
+    visits at most one cell per anti-diagonal, so a reverse scan over t reads
+    each row once (a dynamic slice), selects each pair's byte with a one-hot
+    over W lanes, and emits a 2-bit opcode per (pair, t):
+    0 none, 1 M (diagonal), 2 I (consume query), 3 D (consume target).
+    Only the [B, tmax+1] opcode tensor leaves the device (~W times smaller).
+    Gap-state switches consume the same byte as the gap op itself, matching
+    traceback_pair exactly.
+    """
+    B = tb.shape[0]
+    W = band + 1
+    K = band
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def i0_of(t):
+        return jnp.maximum((t - K + 1) // 2, 0)
+
+    cur_t0 = qlens + tlens
+    l0 = qlens - i0_of(cur_t0)
+    mat0 = jnp.zeros(B, jnp.int32)  # 0 H, 1 D1, 2 I1, 3 D2, 4 I2
+    done0 = cur_t0 == 0
+    ops0 = jnp.zeros((B, tmax + 1), jnp.uint8)
+
+    def body(t, state):
+        cur_t, l, mat, done, ops = state
+        # reverse order: step index t runs 0..tmax-1 -> anti-diagonal tmax-t
+        td = tmax - t
+        row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=1)[:, 0, :].astype(jnp.int32)
+        active = (~done) & (cur_t == td)
+        b = jnp.sum(jnp.where(lanes == l[:, None], row, 0), axis=1)
+
+        i0_t = i0_of(td)
+        i = i0_t + l
+        j = td - i
+
+        choice = b & 7
+        is_h = mat == 0
+        # which gap family acts this step (either entered from H or ongoing)
+        go_d1 = (is_h & (choice == H_D1)) | (mat == 1)
+        go_i1 = (is_h & (choice == H_I1)) | (mat == 2)
+        go_d2 = (is_h & (choice == H_D2)) | (mat == 3)
+        go_i2 = (is_h & (choice == H_I2)) | (mat == 4)
+        diag = is_h & (choice == H_DIAG)
+
+        opened = jnp.where(
+            go_d1, (b >> 5) & 1,
+            jnp.where(go_i1, (b >> 3) & 1,
+                      jnp.where(go_d2, (b >> 6) & 1, (b >> 4) & 1)),
+        ).astype(jnp.bool_)
+
+        gap_d = go_d1 | go_d2
+        gap_i = go_i1 | go_i2
+
+        op = jnp.where(diag, OP_M, jnp.where(gap_i, OP_I, jnp.where(gap_d, OP_D, OP_NONE)))
+        ni = jnp.where(diag | gap_i, i - 1, i)
+        nj = jnp.where(diag | gap_d, j - 1, j)
+        nmat = jnp.where(
+            diag | opened,
+            0,
+            jnp.where(go_d1, 1, jnp.where(go_i1, 2, jnp.where(go_d2, 3, 4))),
+        )
+
+        nt = ni + nj
+        nl = ni - i0_of(nt)
+        ndone = (ni == 0) & (nj == 0)
+
+        cur_t = jnp.where(active, nt, cur_t)
+        l = jnp.where(active, nl, l)
+        mat = jnp.where(active, nmat, mat)
+        done = done | (active & ndone)
+        ops = ops.at[:, td].set(
+            jnp.where(active, op, OP_NONE).astype(jnp.uint8), mode="drop"
+        )
+        return (cur_t, l, mat, done, ops)
+
+    state = jax.lax.fori_loop(0, tmax, body, (cur_t0, l0, mat0, done0, ops0))
+    return state[4]
+
+
+def decode_opcodes(op_row: np.ndarray) -> list[tuple[int, str]]:
+    """[tmax+1] opcodes -> run-length items with 'M' placeholders (ascending
+    t = forward sequence order); resolve with resolve_matches()."""
+    codes = np.asarray(op_row)
+    nz = codes[codes != OP_NONE]
+    if nz.size == 0:
+        return []
+    syms = np.array([0, ord("M"), ord("I"), ord("D")], dtype=np.uint8)[nz]
+    # run-length encode
+    change = np.empty(nz.size, dtype=bool)
+    change[0] = True
+    change[1:] = syms[1:] != syms[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], nz.size)
+    return [(int(e - s), chr(syms[s])) for s, e in zip(starts, ends)]

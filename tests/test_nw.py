@@ -169,3 +169,31 @@ def test_unequal_lengths_batch():
         assert s[b] == dp
         items = full_cigar(tb, b, ql, tl, 32, q, t)
         check_cigar(items, q, t)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_device_traceback_matches_host(seed):
+    """The device reverse-scan traceback produces the same CIGAR as the host
+    walk for every pair."""
+    rng = np.random.default_rng(70 + seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pairs = []
+    for k in range(6):
+        base = bases[rng.integers(0, 4, size=90)].tobytes()
+        alt = bytearray(base)
+        for pos in rng.integers(0, len(alt), size=4):
+            alt[pos] = bases[rng.integers(0, 4)]
+        if k % 2:
+            del alt[40 : 40 + k]
+        if k % 3 == 0:
+            alt[70:70] = bases[rng.integers(0, 4, size=3)].tobytes()
+        pairs.append((base, bytes(alt)))
+    scores, tb, ql, tl = run_nw(pairs, PEN, band=32)
+    tb_dev = nw.traceback_scan_device(
+        np.asarray(tb), ql, tl, band=32, tmax=tb.shape[1] - 1
+    )
+    tb_dev = np.asarray(tb_dev)
+    for b, (q, t) in enumerate(pairs):
+        host = nw.traceback_pair(tb[b], int(ql[b]), int(tl[b]), 32)
+        dev = nw.decode_opcodes(tb_dev[b])
+        assert host == dev, f"pair {b}"
