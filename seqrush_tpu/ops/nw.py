@@ -371,12 +371,9 @@ def traceback_scan_device(tb, qlens, tlens, *, band: int, tmax: int):
     l0 = qlens - i0_of(cur_t0)
     mat0 = jnp.zeros(B, jnp.int32)  # 0 H, 1 D1, 2 I1, 3 D2, 4 I2
     done0 = cur_t0 == 0
-    ops0 = jnp.zeros((B, tmax + 1), jnp.uint8)
 
-    def body(t, state):
-        cur_t, l, mat, done, ops = state
-        # reverse order: step index t runs 0..tmax-1 -> anti-diagonal tmax-t
-        td = tmax - t
+    def body(state, td):
+        cur_t, l, mat, done = state
         row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=1)[:, 0, :].astype(jnp.int32)
         active = (~done) & (cur_t == td)
         b = jnp.sum(jnp.where(lanes == l[:, None], row, 0), axis=1)
@@ -420,13 +417,16 @@ def traceback_scan_device(tb, qlens, tlens, *, band: int, tmax: int):
         l = jnp.where(active, nl, l)
         mat = jnp.where(active, nmat, mat)
         done = done | (active & ndone)
-        ops = ops.at[:, td].set(
-            jnp.where(active, op, OP_NONE).astype(jnp.uint8), mode="drop"
-        )
-        return (cur_t, l, mat, done, ops)
+        emitted = jnp.where(active, op, OP_NONE).astype(jnp.uint8)
+        return (cur_t, l, mat, done), emitted
 
-    state = jax.lax.fori_loop(0, tmax, body, (cur_t0, l0, mat0, done0, ops0))
-    return state[4]
+    tds = jnp.arange(tmax, 0, -1, dtype=jnp.int32)
+    _, ops_rev = jax.lax.scan(body, (cur_t0, l0, mat0, done0), tds)
+    # ops_rev[k] corresponds to anti-diagonal tds[k]; re-index to [B, tmax+1]
+    ops = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.uint8), ops_rev[::-1]], axis=0
+    ).T
+    return ops
 
 
 def decode_opcodes(op_row: np.ndarray) -> list[tuple[int, str]]:
