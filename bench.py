@@ -99,12 +99,12 @@ def main():
     n = len(seqs)
     pairs = all_ordered_pairs(n)
 
-    # memory budget sized so the 72 pairs split 36+36: both chunks pad to the
-    # SAME B=64 kernel shape (one compile, balanced work) instead of 64+8
-    # (two compiles, a lopsided tail chunk)
+    # chunk cap 36: the 72 pairs split 36+36 and both chunks pad to the SAME
+    # B=64 kernel shape (one compile, balanced work) instead of 64+8 (two
+    # compiles, a lopsided tail chunk)
     cfg = RunnerConfig(
         scores=AlignmentScores.parse("0,5,8,2,24,1"),
-        memory_budget_bytes=int(6.7e7),
+        max_chunk_pairs=36,
     )
 
     # warmup: compile every (smax, band, bucket) shape on a subset
@@ -135,7 +135,7 @@ def main():
         seqs2 = make_sequence_set(synth_hla())
         sr = SeqRushTPU(
             seqs2,
-            Args(output="/tmp/bench_e2e.gfa", memory_budget_bytes=int(6.7e7)),
+            Args(output="/tmp/bench_e2e.gfa", max_chunk_pairs=36),
         )
         t0 = time.time()
         sr.align_and_unite()

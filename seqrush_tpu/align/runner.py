@@ -77,6 +77,9 @@ class RunnerConfig:
     # optional jax.sharding.Mesh with a 'data' axis: alignment batches are
     # sharded on the batch dim across its devices (single-host multi-chip)
     mesh: object = None
+    # cap pairs per chunk (0 = memory budget only); lets callers balance
+    # chunk sizes onto one padded kernel shape
+    max_chunk_pairs: int = 0
     # walk tracebacks on device (reverse scan) and transfer only 2-bit
     # opcodes (~W times less host-link traffic than the packed byte tensor);
     # False fetches the byte tensor and walks on the host (C++/Python spec)
@@ -268,6 +271,8 @@ class WfaAligner:
                 tmax = _round_up(max(x[1].size + x[2].size for x in trial), 512)
                 bytes_needed = _next_pow2(len(trial)) * (tmax + 1) * (band + 1)
                 if chunk and bytes_needed > self.cfg.memory_budget_bytes:
+                    break
+                if self.cfg.max_chunk_pairs and len(chunk) >= self.cfg.max_chunk_pairs:
                     break
                 chunk.append((p, q, t))
                 i += 1

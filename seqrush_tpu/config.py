@@ -51,3 +51,4 @@ class Args:
     inversion_aware: bool = False  # reference inversion_aware_seqrush mode
     mesh_devices: int | None = None  # shard alignment batches over N devices
     memory_budget_bytes: int = int(1.5e9)  # device memory per alignment chunk
+    max_chunk_pairs: int = 0  # cap pairs per chunk (0 = memory budget only)

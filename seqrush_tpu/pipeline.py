@@ -137,6 +137,7 @@ class SeqRushTPU:
             verbose=args.verbose,
             mesh=mesh,
             memory_budget_bytes=args.memory_budget_bytes,
+            max_chunk_pairs=args.max_chunk_pairs,
         )
         aligner = (_AlignerCls or WfaAligner)(self.seqs, cfg)
         n = len(self.seqs)
