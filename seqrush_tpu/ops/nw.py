@@ -444,3 +444,230 @@ def decode_opcodes(op_row: np.ndarray) -> list[tuple[int, str]]:
     starts = np.nonzero(change)[0]
     ends = np.append(starts[1:], nz.size)
     return [(int(e - s), chr(syms[s])) for s, e in zip(starts, ends)]
+
+
+# -----------------------------------------------------------------------------
+# Segmented sweep: long-sequence support with bounded per-segment memory
+# -----------------------------------------------------------------------------
+# The reference requires whole pairs in memory (README.md:225).  Here pairs of
+# arbitrary length stream through fixed-size segments of SEG anti-diagonals:
+# the six DP state rows carry across segment calls, each segment's traceback
+# rows stay on device, and the reverse opcode scan carries the walk state the
+# other way.  Peak memory is O(B * SEG * W) regardless of sequence length.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mismatch", "o1", "e1", "o2", "e2", "band", "seg"),
+)
+def _nw_segment(
+    Q, T, qlens, tlens, t0, H1, H2, I1r, D1r, I2r, D2r, scores,
+    *, mismatch, o1, e1, o2, e2, band, seg,
+):
+    """Sweep anti-diagonals [t0+1, t0+seg]; returns updated state + tb rows."""
+    B, Lq = Q.shape
+    Lt = T.shape[1]
+    K = band
+    W = K + 1
+    two = o2 >= 0
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+    W_pad = K + 1
+    Qp = jnp.pad(Q, ((0, 0), (1, W_pad)), constant_values=QPAD)
+    Trev = jnp.pad(T[:, ::-1], ((0, 0), (W_pad, W_pad)), constant_values=TPAD)
+
+    def shift_right(x):
+        return jnp.concatenate([jnp.full((B, 1), INF, jnp.int32), x[:, :-1]], axis=1)
+
+    def frame(x, delta):
+        sr = shift_right(x)
+        sl = jnp.concatenate([x[:, 1:], jnp.full((B, 1), INF, jnp.int32)], axis=1)
+        return jnp.where(delta == -1, sr, jnp.where(delta == 0, x, sl))
+
+    def body(carry, k):
+        H1, H2, I1r, D1r, I2r, D2r, scores = carry
+        t = t0 + 1 + k
+        i0 = _i0_of(t, K)
+        dp = i0 - _i0_of(t - 1, K)
+        dpp = i0 - _i0_of(t - 2, K)
+        i = i0 + lanes
+        j = t - i
+        h_up = frame(H1, dp - 1)
+        h_left = frame(H1, dp)
+        h_diag = frame(H2, dpp - 1)
+        i1_up = frame(I1r, dp - 1)
+        d1_left = frame(D1r, dp)
+        qwin = jax.lax.dynamic_slice_in_dim(Qp, jnp.clip(i0, 0, Qp.shape[1] - W), W, axis=1)
+        twin = jax.lax.dynamic_slice_in_dim(
+            Trev, jnp.clip(Lt - t + i0 + W, 0, Trev.shape[1] - W), W, axis=1
+        )
+        sub = jnp.where(qwin == twin, 0, mismatch).astype(jnp.int32)
+        I1n = jnp.minimum(h_up + (o1 + e1), i1_up + e1)
+        i1_opened = (h_up + (o1 + e1)) <= (i1_up + e1)
+        D1n = jnp.minimum(h_left + (o1 + e1), d1_left + e1)
+        d1_opened = (h_left + (o1 + e1)) <= (d1_left + e1)
+        if two:
+            i2_up = frame(I2r, dp - 1)
+            d2_left = frame(D2r, dp)
+            I2n = jnp.minimum(h_up + (o2 + e2), i2_up + e2)
+            i2_opened = (h_up + (o2 + e2)) <= (i2_up + e2)
+            D2n = jnp.minimum(h_left + (o2 + e2), d2_left + e2)
+            d2_opened = (h_left + (o2 + e2)) <= (d2_left + e2)
+        else:
+            I2n = jnp.full((B, W), INF, jnp.int32)
+            D2n = jnp.full((B, W), INF, jnp.int32)
+            i2_opened = jnp.zeros((B, W), bool)
+            d2_opened = jnp.zeros((B, W), bool)
+        Hn = h_diag + sub
+        choice = jnp.full((B, W), H_DIAG, jnp.uint8)
+        for cand, tag in ((D1n, H_D1), (I1n, H_I1), (D2n, H_D2), (I2n, H_I2)):
+            better = cand < Hn
+            Hn = jnp.where(better, cand, Hn)
+            choice = jnp.where(better, jnp.uint8(tag), choice)
+        valid = (i >= 0) & (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
+        Hn = jnp.where(valid, jnp.minimum(Hn, INF), INF)
+        I1n = jnp.where(valid, jnp.minimum(I1n, INF), INF)
+        D1n = jnp.where(valid, jnp.minimum(D1n, INF), INF)
+        I2n = jnp.where(valid, jnp.minimum(I2n, INF), INF)
+        D2n = jnp.where(valid, jnp.minimum(D2n, INF), INF)
+        fin_lane = qlens[:, None] - i0
+        at_final = (t == (qlens + tlens))[:, None] & (lanes == fin_lane)
+        fin_val = jnp.min(jnp.where(at_final, Hn, INF), axis=1)
+        scores = jnp.where(
+            (t == (qlens + tlens)) & (scores < 0) & (fin_val < INF), fin_val, scores
+        )
+        packed = (
+            choice
+            | (i1_opened.astype(jnp.uint8) << 3)
+            | (i2_opened.astype(jnp.uint8) << 4)
+            | (d1_opened.astype(jnp.uint8) << 5)
+            | (d2_opened.astype(jnp.uint8) << 6)
+        )
+        return (Hn, H1, I1n, D1n, I2n, D2n, scores), packed
+
+    carry, tb_seg = jax.lax.scan(
+        body, (H1, H2, I1r, D1r, I2r, D2r, scores), jnp.arange(seg, dtype=jnp.int32)
+    )
+    # tb_seg: [seg, B, W] -> [B, seg, W]
+    return carry, jnp.transpose(tb_seg, (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("band", "seg"))
+def _tb_scan_segment(tb_seg, t0, cur_t, l, mat, done, *, band, seg):
+    """Reverse opcode scan over one segment's rows [t0+1, t0+seg]."""
+    B = tb_seg.shape[0]
+    K = band
+    W = K + 1
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def i0_of(t):
+        return jnp.maximum((t - K + 1) // 2, 0)
+
+    def body(state, k):
+        cur_t, l, mat, done = state
+        td = t0 + seg - k  # seg-local reverse order
+        row = jax.lax.dynamic_slice_in_dim(tb_seg, seg - 1 - k, 1, axis=1)[:, 0, :].astype(jnp.int32)
+        active = (~done) & (cur_t == td)
+        b = jnp.sum(jnp.where(lanes == l[:, None], row, 0), axis=1)
+        i0_t = i0_of(td)
+        i = i0_t + l
+        j = td - i
+        choice = b & 7
+        is_h = mat == 0
+        go_d1 = (is_h & (choice == H_D1)) | (mat == 1)
+        go_i1 = (is_h & (choice == H_I1)) | (mat == 2)
+        go_d2 = (is_h & (choice == H_D2)) | (mat == 3)
+        go_i2 = (is_h & (choice == H_I2)) | (mat == 4)
+        diag = is_h & (choice == H_DIAG)
+        opened = jnp.where(
+            go_d1, (b >> 5) & 1,
+            jnp.where(go_i1, (b >> 3) & 1, jnp.where(go_d2, (b >> 6) & 1, (b >> 4) & 1)),
+        ).astype(jnp.bool_)
+        gap_d = go_d1 | go_d2
+        gap_i = go_i1 | go_i2
+        op = jnp.where(diag, OP_M, jnp.where(gap_i, OP_I, jnp.where(gap_d, OP_D, OP_NONE)))
+        ni = jnp.where(diag | gap_i, i - 1, i)
+        nj = jnp.where(diag | gap_d, j - 1, j)
+        nmat = jnp.where(
+            diag | opened, 0,
+            jnp.where(go_d1, 1, jnp.where(go_i1, 2, jnp.where(go_d2, 3, 4))),
+        )
+        nt = ni + nj
+        nl = ni - i0_of(nt)
+        ndone = (ni == 0) & (nj == 0)
+        cur_t = jnp.where(active, nt, cur_t)
+        l = jnp.where(active, nl, l)
+        mat = jnp.where(active, nmat, mat)
+        done = done | (active & ndone)
+        return (cur_t, l, mat, done), jnp.where(active, op, OP_NONE).astype(jnp.uint8)
+
+    state, ops_rev = jax.lax.scan(
+        body, (cur_t, l, mat, done), jnp.arange(seg, dtype=jnp.int32)
+    )
+    # ops_rev[k] is anti-diagonal t0+seg-k -> reorder ascending [B, seg]
+    return state, ops_rev[::-1].T
+
+
+def nw_align_long(
+    Q, T, qlens, tlens, pen, band: int, seg: int = 2048
+) -> tuple[np.ndarray, list[list[tuple[int, str]]]]:
+    """Arbitrary-length banded alignment via fixed-size segments.
+
+    Returns (scores [B], per-pair run-length items with 'M' placeholders).
+    Peak device memory is O(B * seg * W); per-segment traceback rows stay on
+    device and only [B, seg] opcodes transfer per segment.
+    """
+    B, Lq = Q.shape
+    K = band
+    W = K + 1
+    qlens = np.asarray(qlens, dtype=np.int32)
+    tlens = np.asarray(tlens, dtype=np.int32)
+    tmax = int((qlens + tlens).max())
+    n_seg = -(-tmax // seg)
+
+    kw = dict(
+        mismatch=pen.mismatch,
+        o1=pen.gap1_open,
+        e1=pen.gap1_extend,
+        o2=pen.gap2_open if pen.two_piece else -1,
+        e2=pen.gap2_extend if pen.two_piece else -1,
+        band=band,
+        seg=seg,
+    )
+    lanes0 = jnp.arange(W, dtype=jnp.int32)[None, :]
+    H1 = jnp.where(lanes0 == 0, 0, INF) * jnp.ones((B, 1), jnp.int32)
+    H1 = jnp.broadcast_to(jnp.where(lanes0 == 0, 0, INF), (B, W)).astype(jnp.int32)
+    H2 = jnp.full((B, W), INF, jnp.int32)
+    I1r = jnp.full((B, W), INF, jnp.int32)
+    D1r = jnp.full((B, W), INF, jnp.int32)
+    I2r = jnp.full((B, W), INF, jnp.int32)
+    D2r = jnp.full((B, W), INF, jnp.int32)
+    scores = jnp.full((B,), -1, jnp.int32)
+
+    tb_segments = []
+    state = (H1, H2, I1r, D1r, I2r, D2r, scores)
+    for s_i in range(n_seg):
+        t0 = s_i * seg
+        state, tb_seg = _nw_segment(Q, T, qlens, tlens, t0, *state, **kw)
+        tb_segments.append(tb_seg)  # stays on device
+    scores = np.asarray(state[6])
+
+    # reverse walk across segments
+    cur_t = jnp.asarray(qlens + tlens, dtype=jnp.int32)
+    l = jnp.asarray(qlens, jnp.int32) - jnp.maximum(
+        (cur_t - K + 1) // 2, 0
+    )
+    mat = jnp.zeros(B, jnp.int32)
+    done = jnp.asarray(cur_t == 0)
+    ops_parts = []
+    for s_i in reversed(range(n_seg)):
+        t0 = s_i * seg
+        (cur_t, l, mat, done), ops_seg = _tb_scan_segment(
+            tb_segments[s_i], t0, cur_t, l, mat, done, band=band, seg=seg
+        )
+        ops_parts.append(np.asarray(ops_seg))
+    ops_parts.reverse()  # ascending t order
+    opcodes = np.concatenate([np.zeros((B, 1), np.uint8)] + ops_parts, axis=1)
+    items = [decode_opcodes(opcodes[b]) for b in range(B)]
+    return scores, items

@@ -197,3 +197,32 @@ def test_device_traceback_matches_host(seed):
         host = nw.traceback_pair(tb[b], int(ql[b]), int(tl[b]), 32)
         dev = nw.decode_opcodes(tb_dev[b])
         assert host == dev, f"pair {b}"
+
+
+def test_segmented_matches_single_shot():
+    """The segmented long-sequence sweep produces the same scores and CIGARs
+    as the single-shot kernel."""
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pairs = []
+    for k in range(4):
+        base = bases[rng.integers(0, 4, size=500 + 40 * k)].tobytes()
+        alt = bytearray(base)
+        for pos in rng.integers(0, len(alt), size=10):
+            alt[pos] = bases[rng.integers(0, 4)]
+        del alt[200:206]
+        pairs.append((base, bytes(alt)))
+    qs = [encode_bases(q) for q, _ in pairs]
+    ts = [encode_bases(t) for _, t in pairs]
+    lq = max(q.size for q in qs)
+    lt = max(t.size for t in ts)
+    Q = np.stack([np.concatenate([q, np.full(lq - q.size, nw.QPAD, np.uint8)]) for q in qs])
+    T = np.stack([np.concatenate([t, np.full(lt - t.size, nw.TPAD, np.uint8)]) for t in ts])
+    ql = np.array([q.size for q in qs], np.int32)
+    tl = np.array([t.size for t in ts], np.int32)
+    s_ref, tb, _, _ = run_nw(pairs, PEN, band=63)
+    s_seg, items_seg = nw.nw_align_long(Q, T, ql, tl, PEN, band=63, seg=256)
+    assert (s_ref == s_seg).all()
+    for b in range(4):
+        host = nw.traceback_pair(tb[b], int(ql[b]), int(tl[b]), 63)
+        assert items_seg[b] == host, f"pair {b}"
