@@ -70,26 +70,24 @@ def synth_hla(n_seqs=9, length=3300, seed=7):
     return out
 
 
-def tpu_responsive(timeout_s: int = 90) -> bool:
-    """Probe device health in a subprocess (a dead axon tunnel hangs jax
-    calls indefinitely; a hung bench would stall the driver)."""
-    import subprocess
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax, jax.numpy as jnp; jnp.ones((8,8)).sum().block_until_ready()"],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
-    if not tpu_responsive():
-        print("[bench] device unresponsive (tunnel down?); aborting fast", file=sys.stderr)
-        return 3
+    # in-process health watchdog: a dead axon tunnel hangs jax calls
+    # indefinitely, which would stall the driver.  (A subprocess probe is NOT
+    # safe — two concurrent tunnel clients crash the TPU worker.)
+    import threading
+
+    watchdog = threading.Timer(
+        120.0,
+        lambda: (print("[bench] device unresponsive; aborting", file=sys.stderr),
+                 sys.stderr.flush(), os._exit(3)),
+    )
+    watchdog.daemon = True
+    watchdog.start()
+    import jax.numpy as jnp
+
+    jnp.ones((8, 8)).sum().block_until_ready()
+    watchdog.cancel()
+
     from seqrush_tpu.align.pairs import all_ordered_pairs
     from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
     from seqrush_tpu.scores import AlignmentScores
