@@ -223,7 +223,34 @@ class SeqRushTPU:
             return
         with open(self.args.output_alignments, "w") as fh:
             for res in results:
-                fh.write(alignment_to_paf(res, self.seqs).to_line() + "\n")
+                rec = alignment_to_paf(res, self.seqs)
+                if self.args.validate_paf:
+                    self._validate_paf_record(rec)
+                fh.write(rec.to_line() + "\n")
+
+    def _validate_paf_record(self, rec) -> None:
+        """Record-level sanity as it is generated (reference --validate-paf,
+        seqrush.rs:77-80): coordinates within bounds, CIGAR consumes exactly
+        the spans."""
+        from .align.cigar import parse_cigar
+
+        items = parse_cigar(rec.cigar)
+        q_consumed = sum(n for n, op in items if op in "MX=I")
+        t_consumed = sum(n for n, op in items if op in "MX=D")
+        ok = (
+            0 <= rec.query_start <= rec.query_end <= rec.query_len
+            and 0 <= rec.target_start <= rec.target_end <= rec.target_len
+            and rec.query_end - rec.query_start == q_consumed
+            and rec.target_end - rec.target_start == t_consumed
+            and rec.strand in "+-"
+        )
+        if not ok:
+            raise AssertionError(
+                f"invalid PAF record generated for {rec.query_name}->{rec.target_name}: "
+                f"cigar consumes q={q_consumed} t={t_consumed}, spans "
+                f"q=[{rec.query_start},{rec.query_end}]/{rec.query_len} "
+                f"t=[{rec.target_start},{rec.target_end}]/{rec.target_len}"
+            )
 
     def _align_from_paf(self, paf_path: str) -> None:
         """Rebuild unites from a PAF file (reference seqrush.rs:510-609)."""
