@@ -14,8 +14,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Protocol
 
-import numpy as np
-
 from ..sequences import SequenceSet
 from .pairs import all_ordered_pairs
 from .runner import RunnerConfig, WfaAligner

@@ -8,7 +8,6 @@ flags, so existing invocations translate directly:
 from __future__ import annotations
 
 import argparse
-import sys
 
 from .config import Args
 from .pipeline import run_seqrush

@@ -19,15 +19,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..pos import (
-    complement_bytes,
-    handle_flip,
-    handle_is_rev,
-    handle_node,
-    handle_str,
-    make_handle,
-    reverse_complement,
-)
+from ..pos import handle_str, reverse_complement
 
 
 @dataclass

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..pos import reverse_complement
 from .bigraph import BidirectedGraph
 
 

@@ -27,7 +27,7 @@ we keep the exact table — pure quality upside).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

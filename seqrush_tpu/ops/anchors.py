@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..pos import reverse_complement_codes
-
 
 def packed_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(positions, packed int64 values) of all ACGT-only k-mers."""

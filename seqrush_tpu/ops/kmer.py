@@ -13,8 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..pos import encode_bases
-
 _DIM = 1024  # sketch dimensionality (buckets)
 
 

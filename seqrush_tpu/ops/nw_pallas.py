@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .nw import H_D1, H_D2, H_DIAG, H_I1, H_I2, QPAD, TPAD
+from .nw import H_D1, H_D2, H_I1, H_I2, QPAD, TPAD
 
 INF = 2**28  # plain int: jnp scalars would be captured consts in the kernel
 GROUP = 8  # pairs per program == VPU sublanes

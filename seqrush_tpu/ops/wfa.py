@@ -9,10 +9,17 @@ in lockstep on device:
 * state is dense: five wavefront offset vectors (M, I1, I2, D1, D2) over a
   static diagonal band, shape [B, NDIAG], advanced by a single
   ``lax.while_loop`` over scores shared by the batch (finished pairs freeze);
-* the greedy extend step is vectorized across all diagonals of all pairs at
-  once (chunked base compare + leading-ones count via cumprod);
+* greedy extension has three bit-identical strategies (``ext_mode``): a
+  precomputed per-diagonal run-length table consulted in full, a carried
+  512-wide window of that table with exact full-table fallback, or the
+  chunked base-compare loop;
 * per-score wavefronts append to history tensors [B, S+1, NDIAG] (int16) in
   HBM, from which the optimal path is re-derived by backtrace.
+
+NOTE: the production default aligner is the banded anti-diagonal Gotoh sweep
+(ops/nw.py) — per-diagonal random access in the extend step is hostile to
+TPU (no efficient gather); this kernel remains as the score-adaptive option
+and cross-check.
 
 Conventions (match the reference's post-conversion CIGAR, wfa.rs:5-38):
   query = pattern (v), target = text (h); diagonal k = h - v; offset = h.

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from ..align.pairs import all_ordered_pairs
 from ..align.runner import RunnerConfig, WfaAligner
 from ..io.paf import alignment_to_paf
