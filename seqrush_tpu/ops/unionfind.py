@@ -136,7 +136,8 @@ def count_components(parent, total_length: int | None = None) -> int:
     Mirrors SeqRush::count_components (/root/reference/src/seqrush.rs:341-353):
     forward orientations only (F/R are pre-united in the pipeline).
     """
-    roots = np.asarray(_roots_strided(parent, 2))
+    with compute_device():
+        roots = np.asarray(_roots_strided(jnp.asarray(parent), 2))
     if total_length is not None:
         roots = roots[:total_length]
     return int(np.unique(roots).size)

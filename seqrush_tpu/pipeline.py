@@ -72,6 +72,18 @@ class SeqRushTPU:
         u = np.concatenate(self._edge_u)
         v = np.concatenate(self._edge_v)
         self._edge_u, self._edge_v = [], []
+        # host C++ union-find when available (same deterministic min-roots,
+        # no compile); jax bulk unite otherwise / for device-resident runs
+        try:
+            from .native import get_lib, uf_unite_bulk_native
+
+            if get_lib() is not None:
+                parent = np.ascontiguousarray(np.asarray(self.parent), dtype=np.int32)
+                uf_unite_bulk_native(parent, u, v)
+                self.parent = parent
+                return
+        except Exception:
+            pass
         with uf.compute_device():
             self.parent = uf.unite_edges(self.parent, u, v)
 
