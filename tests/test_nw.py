@@ -226,3 +226,21 @@ def test_segmented_matches_single_shot():
     for b in range(4):
         host = nw.traceback_pair(tb[b], int(ql[b]), int(tl[b]), 63)
         assert items_seg[b] == host, f"pair {b}"
+
+
+def test_extreme_length_mismatch():
+    """Pair with wildly different lengths (band capped at maxlen+1)."""
+    q = b"ACGTACGTAC"
+    t = (b"ACGTACGTAC" * 30)[:298]
+    s, tb, ql, tl = run_nw([(q, t)], PEN, band=299)
+    dp = wfa.affine2p_score_dp(np.frombuffer(q, np.uint8), np.frombuffer(t, np.uint8), PEN)
+    assert s[0] == dp
+    items = full_cigar(tb, 0, ql, tl, 299, q, t)
+    check_cigar(items, q, t)
+
+
+def test_one_base_pair():
+    s, tb, ql, tl = run_nw([(b"A", b"A"), (b"A", b"C")], PEN, band=8)
+    assert s[0] == 0 and s[1] == PEN.mismatch
+    assert full_cigar(tb, 0, ql, tl, 8, b"A", b"A") == [(1, "=")]
+    assert full_cigar(tb, 1, ql, tl, 8, b"A", b"C") == [(1, "X")]
