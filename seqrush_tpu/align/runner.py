@@ -349,6 +349,10 @@ class WfaAligner:
                 return self._finish_dispatch(chunk, scores, tb, qlens, tlens, band, kw)
             except Exception:
                 self._pallas_ok = False  # lowering failed: stick to XLA
+        if self.cfg.device_traceback:
+            # fused sweep + walk: single dispatch, opcodes-only transfer
+            scores, opcodes = nw.nw_align_with_opcodes(Q, T, qlens, tlens, **kw)
+            return chunk, scores, ("ops", opcodes), qlens, tlens, band
         scores, tb = nw.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
         return self._finish_dispatch(chunk, scores, tb, qlens, tlens, band, kw)
 

@@ -218,11 +218,9 @@ def nw_align_device(
         return (Hn, H1, I1n, D1n, I2n, D2n, scores, tb)
 
     state = (H1, H2, I1r, D1r, I2r, D2r, scores, tb0)
-    # NOTE: unroll>1 would amortize per-iteration loop overhead (~2x at
-    # unroll=4 by microbenchmark projection) but doubles the program the
-    # axon tunnel's remote compiler must chew; proven-safe configuration
-    # first — revisit once compiles are cached
-    state = jax.lax.fori_loop(1, tmax + 1, body, state)
+    # unroll=2 amortizes the per-iteration loop overhead (the body is tiny
+    # relative to TPU loop fixed costs)
+    state = jax.lax.fori_loop(1, tmax + 1, body, state, unroll=2)
     scores = state[6]
     tb = state[7]
     return scores, tb
@@ -305,9 +303,12 @@ def traceback_pair(
 def resolve_matches(
     items: list[tuple[int, str]], q: np.ndarray, t: np.ndarray
 ) -> list[tuple[int, str]]:
-    """Split 'M' runs into '='/'X' by comparing bases (vectorized)."""
+    """Split 'M' runs into '='/'X' by comparing bases (vectorized: the inner
+    loop runs over equal/unequal segments, not bases)."""
     out: list[tuple[int, str]] = []
     qi = ti = 0
+    q = np.asarray(q)
+    t = np.asarray(t)
 
     def push(n, op):
         if n <= 0:
@@ -319,12 +320,11 @@ def resolve_matches(
 
     for n, op in items:
         if op == "M":
-            eq = np.asarray(q[qi : qi + n]) == np.asarray(t[ti : ti + n])
-            start = 0
-            for k in range(1, n + 1):
-                if k == n or eq[k] != eq[start]:
-                    push(k - start, "=" if eq[start] else "X")
-                    start = k
+            eq = q[qi : qi + n] == t[ti : ti + n]
+            idx = np.flatnonzero(np.diff(eq)) + 1
+            bounds = np.concatenate([[0], idx, [n]])
+            for s_b, e_b in zip(bounds[:-1], bounds[1:]):
+                push(int(e_b - s_b), "=" if eq[s_b] else "X")
             qi += n
             ti += n
         else:
@@ -671,3 +671,35 @@ def nw_align_long(
     opcodes = np.concatenate([np.zeros((B, 1), np.uint8)] + ops_parts, axis=1)
     items = [decode_opcodes(opcodes[b]) for b in range(B)]
     return scores, items
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mismatch", "o1", "e1", "o2", "e2", "band", "tmax"),
+)
+def nw_align_with_opcodes(
+    Q, T, qlens, tlens, *, mismatch, o1, e1, o2, e2, band, tmax
+):
+    """Fused sweep + device traceback: one dispatch, opcodes-only output.
+
+    The packed traceback tensor lives only inside the program (HBM scratch
+    between the forward sweep and the reverse opcode scan) — nothing but
+    scores [B] and opcodes [B, tmax+1] is materialized for the host.  Halves
+    the per-chunk dispatch count, which dominates over high-latency links.
+    """
+    scores, tb = nw_align_device(
+        Q,
+        T,
+        qlens,
+        tlens,
+        mismatch=mismatch,
+        o1=o1,
+        e1=e1,
+        o2=o2,
+        e2=e2,
+        band=band,
+        tmax=tmax,
+        with_traceback=True,
+    )
+    ops = traceback_scan_device(tb, qlens, tlens, band=band, tmax=tmax)
+    return scores, ops
