@@ -522,7 +522,10 @@ class WfaAligner:
                 T[b, : t.size] = t
                 qlens[b] = q.size
                 tlens[b] = t.size
-            band = max(self._band_for(int(q.size), int(t.size)) for q, t in zip(bq, bt))
+            # a narrow band suffices for the fwd-vs-rc comparison (both
+            # orientations are banded identically; only the order matters)
+            diff = max(abs(int(q.size) - int(t.size)) for q, t in zip(bq, bt))
+            band = max(127, _round_up(diff + 2, 128) - 1)
             tmax = _round_up(int((qlens + tlens).max()) + 1, 512)
             scores, _ = nw.nw_align_device(
                 Q,
