@@ -103,6 +103,7 @@ def main():
     cfg = RunnerConfig(
         scores=AlignmentScores.parse("0,5,8,2,24,1"),
         max_chunk_pairs=36,
+        threads=16,
     )
 
     # warmup: compile every (smax, band, bucket) shape on a subset

@@ -80,6 +80,9 @@ class RunnerConfig:
     # cap pairs per chunk (0 = memory budget only); lets callers balance
     # chunk sizes onto one padded kernel shape
     max_chunk_pairs: int = 0
+    # host-side worker threads for CIGAR decode/resolution (the reference's
+    # -t rayon thread count analog for the host phase)
+    threads: int = 4
     # walk tracebacks on device (reverse scan) and transfer only 2-bit
     # opcodes (~W times less host-link traffic than the packed byte tensor);
     # False fetches the byte tensor and walks on the host (C++/Python spec)
@@ -374,23 +377,33 @@ class WfaAligner:
         scores = np.asarray(scores)
         mode, data = payload
         data = np.asarray(data)
-        out = []
-        for b, (p, q, t) in enumerate(chunk):
+
+        def decode(args):
+            b, p, q, t = args
             qi, tj = pairs[p]
             score = int(scores[b])
             if score < 0:
-                self.stats["dropped"] += 1
-                continue
+                return None
             cap = self._pair_cap(int(qlens[b]), int(tlens[b]))
             if score > cap:
-                self.stats["dropped"] += 1  # exceeds divergence cap
-                continue
+                return None  # exceeds divergence cap
             if mode == "ops":
                 items = nw.decode_opcodes(data[b])
             else:
                 items = nw.traceback_pair(data[b], int(qlens[b]), int(tlens[b]), band)
             items = nw.resolve_matches(items, q, t)
-            out.append(AlignmentResult(int(qi), int(tj), bool(is_rev[p]), score, items))
+            return AlignmentResult(int(qi), int(tj), bool(is_rev[p]), score, items)
+
+        jobs = [(b, p, q, t) for b, (p, q, t) in enumerate(chunk)]
+        if self.cfg.threads > 1 and len(jobs) > 3:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.cfg.threads) as ex:
+                decoded = list(ex.map(decode, jobs))
+        else:
+            decoded = [decode(j) for j in jobs]
+        out = [r for r in decoded if r is not None]
+        self.stats["dropped"] += sum(1 for r in decoded if r is None)
         return out
 
     # -- internals -----------------------------------------------------------

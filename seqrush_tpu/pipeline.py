@@ -150,6 +150,7 @@ class SeqRushTPU:
             mesh=mesh,
             memory_budget_bytes=args.memory_budget_bytes,
             max_chunk_pairs=args.max_chunk_pairs,
+            threads=args.threads,
         )
         aligner = (_AlignerCls or WfaAligner)(self.seqs, cfg)
         n = len(self.seqs)
