@@ -163,6 +163,15 @@ class SeqRushTPU:
             kdist = kmer_distance_matrix(aligner.codes, spars.kmer_size or 16)
 
         self.timer.count("pairs_total", n * n)
+        # PAF pre-pass: --output-alignments always records the full all-pairs
+        # set, independent of sparsification (reference seqrush.rs:694-716
+        # runs an unsparsified AllPairIterator just for the PAF)
+        if args.output_alignments and (spars.kind != "none" or args.iterative):
+            from .align.pairs import all_ordered_pairs
+
+            with self.timer.phase("paf_prepass"):
+                self._paf_out(aligner.align_pairs(all_ordered_pairs(n)))
+
         if args.iterative:
             with self.timer.phase("align"):
                 self._align_iterative(aligner, kdist, spars)
@@ -173,7 +182,8 @@ class SeqRushTPU:
             with self.timer.phase("align"):
                 results = aligner.align_pairs(pairs)
             self.timer.count("alignments", len(results))
-            self._paf_out(results)
+            if not (spars.kind != "none" or args.iterative):
+                self._paf_out(results)
             for res in results:
                 self._result_to_unites(res, args.min_match_length)
             if args.inversion_aware:
@@ -229,7 +239,6 @@ class SeqRushTPU:
             else:
                 stable = 0
             prev = comp
-        self._paf_out(all_results)
 
     def _paf_out(self, results) -> None:
         if not self.args.output_alignments:

@@ -165,3 +165,24 @@ def test_measure_layout_quality_tool(tmp_path, capsys):
     assert mlq([str(gfa), "--json"]) == 0
     q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "rmse" in q and q["n_terms"] > 0
+
+
+def test_paf_prepass_covers_all_pairs_under_sparsification(tmp_path):
+    """--output-alignments records the full all-pairs set even when the
+    graph run is sparsified (reference runs a separate unsparsified PAF
+    pre-pass, seqrush.rs:694-716)."""
+    fam = variant_family(n=5, length=150, seed=23)
+    paf = str(tmp_path / "a.paf")
+    sr = SeqRushTPU(
+        make_sequence_set(fam),
+        Args(
+            output=str(tmp_path / "o.gfa"),
+            output_alignments=paf,
+            sparsification="tree:1",
+            no_sort=True,
+        ),
+    )
+    sr.align_and_unite()
+    sr.write_gfa()
+    lines = open(paf).read().splitlines()
+    assert len(lines) == 5 * 4  # all ordered pairs, not the sparsified subset
