@@ -67,7 +67,6 @@ def _perfect_next(graph: BidirectedGraph) -> dict[int, int]:
     t2, f2 = tos[order], froms[order]
     uniq_t, first = np.unique(t2, return_index=True)
     bounds = np.append(first, t2.size)
-    pred_ok: set[int] = set()
     start_set = set(int(s) for s in starts)
     pred_of: dict[int, int] = {}
     for k in range(uniq_t.size):

@@ -636,7 +636,6 @@ def nw_align_long(
         seg=seg,
     )
     lanes0 = jnp.arange(W, dtype=jnp.int32)[None, :]
-    H1 = jnp.where(lanes0 == 0, 0, INF) * jnp.ones((B, 1), jnp.int32)
     H1 = jnp.broadcast_to(jnp.where(lanes0 == 0, 0, INF), (B, W)).astype(jnp.int32)
     H2 = jnp.full((B, W), INF, jnp.int32)
     I1r = jnp.full((B, W), INF, jnp.int32)
