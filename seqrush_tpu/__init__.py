@@ -9,5 +9,13 @@ grooming, topological sort), and GFA 1.0 output.
 
 __version__ = "0.1.0"
 
+from .config import Args  # noqa: F401
 from .scores import AlignmentScores  # noqa: F401
 from .sequences import Sequence, SequenceSet, load_fasta, load_fasta_str, make_sequence_set  # noqa: F401
+
+
+def run_seqrush(args):
+    """Top-level pipeline entry (lazy import keeps `import seqrush_tpu` light)."""
+    from .pipeline import run_seqrush as _run
+
+    return _run(args)
