@@ -71,22 +71,28 @@ def synth_hla(n_seqs=9, length=3300, seed=7):
 
 
 def main():
-    # in-process health watchdog: a dead axon tunnel hangs jax calls
-    # indefinitely, which would stall the driver.  (A subprocess probe is NOT
-    # safe — two concurrent tunnel clients crash the TPU worker.)
+    # in-process watchdogs: a dead axon tunnel hangs jax calls indefinitely,
+    # which would stall the driver.  (A subprocess probe is NOT safe - two
+    # concurrent tunnel clients crash the TPU worker.)  One short fuse for
+    # initial health, one long fuse covering the whole run in case the
+    # tunnel dies mid-benchmark.
     import threading
 
-    watchdog = threading.Timer(
-        120.0,
-        lambda: (print("[bench] device unresponsive; aborting", file=sys.stderr),
-                 sys.stderr.flush(), os._exit(3)),
-    )
-    watchdog.daemon = True
-    watchdog.start()
+    def _abort(msg):
+        print(msg, file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+
+    run_watchdog = threading.Timer(480.0, _abort, ("[bench] run watchdog fired; aborting",))
+    run_watchdog.daemon = True
+    run_watchdog.start()
+    health = threading.Timer(120.0, _abort, ("[bench] device unresponsive; aborting",))
+    health.daemon = True
+    health.start()
     import jax.numpy as jnp
 
     jnp.ones((8, 8)).sum().block_until_ready()
-    watchdog.cancel()
+    health.cancel()
 
     from seqrush_tpu.align.pairs import all_ordered_pairs
     from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
