@@ -83,7 +83,7 @@ def main():
         sys.stderr.flush()
         os._exit(3)
 
-    run_watchdog = threading.Timer(480.0, _abort, ("[bench] run watchdog fired; aborting",))
+    run_watchdog = threading.Timer(2400.0, _abort, ("[bench] run watchdog fired; aborting",))
     run_watchdog.daemon = True
     run_watchdog.start()
     health = threading.Timer(120.0, _abort, ("[bench] device unresponsive; aborting",))
