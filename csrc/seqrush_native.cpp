@@ -108,8 +108,8 @@ static int32_t uf_find(int32_t* parent, int32_t x) {
 
 void uf_unite_bulk(int32_t* parent, int64_t n, const int32_t* u,
                    const int32_t* v, int64_t m) {
-  (void)n;
   for (int64_t i = 0; i < m; ++i) {
+    if (u[i] < 0 || u[i] >= n || v[i] < 0 || v[i] >= n) continue;  // defensive
     int32_t ru = uf_find(parent, u[i]);
     int32_t rv = uf_find(parent, v[i]);
     if (ru == rv) continue;

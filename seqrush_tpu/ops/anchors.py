@@ -125,7 +125,9 @@ def chain_anchors(
 
 def chain_to_runs(chain: np.ndarray, k: int) -> list[tuple[int, int, int]]:
     """Merge chained anchors into maximal exact-match runs
-    (q_start, t_start, len); overlapping colinear anchors coalesce."""
+    (q_start, t_start, len).  Colinear overlapping anchors coalesce;
+    different-diagonal overlaps (repeats) are trimmed so consecutive runs
+    never overlap on either sequence."""
     runs: list[list[int]] = []
     for qpos, tpos in chain:
         qpos, tpos = int(qpos), int(tpos)
@@ -134,6 +136,15 @@ def chain_to_runs(chain: np.ndarray, k: int) -> list[tuple[int, int, int]]:
             # same diagonal and overlapping/adjacent -> extend
             if qpos - q0 == tpos - t0 and qpos <= q0 + ln:
                 runs[-1][2] = max(ln, qpos + k - q0)
+                continue
+            # different diagonal: trim this run's start past the previous end
+            delta = max(q0 + ln - qpos, t0 + ln - tpos, 0)
+            if delta >= k:
+                continue  # fully shadowed by the previous run
+            if delta > 0:
+                qpos += delta
+                tpos += delta
+                runs.append([qpos, tpos, k - delta])
                 continue
         runs.append([qpos, tpos, k])
     return [tuple(r) for r in runs]

@@ -102,3 +102,28 @@ def test_sweepga_pipeline_validates():
     assert sr.validate_paths_match_sequences(g) == []
     # most of the sequence united despite seed-and-extend sparsity
     assert g.node_count() < 1.2 * 600
+
+
+def test_overlapping_anchor_runs_trimmed():
+    """Different-diagonal anchor overlaps (repeats) are trimmed so runs never
+    overlap on either sequence (regression: overlapping runs produced
+    out-of-range unite positions)."""
+    chain = np.array([[10, 10], [20, 40], [25, 60]], dtype=np.int64)
+    runs = anchors.chain_to_runs(chain, 15)
+    for (q0, t0, n0), (q1, t1, n1) in zip(runs[:-1], runs[1:]):
+        assert q1 >= q0 + n0 and t1 >= t0 + n0
+    # total consumption stays within bounds
+    assert all(n > 0 for _, _, n in runs)
+
+
+def test_sweep_repeat_heavy_sequences_validate():
+    """Repeat-rich sequences (which create different-diagonal anchor
+    overlaps) still produce valid graphs through the sweep backend."""
+    unit = rand_seq(60, 50)
+    s1 = unit * 5
+    s2 = (unit * 2) + rand_seq(30, 51) + (unit * 3)
+    seqs = make_sequence_set([("a", s1), ("b", s2)])
+    sr = SeqRushTPU(seqs, Args(aligner="sweepga", no_sort=True, output="/tmp/rep.gfa"))
+    sr.align_and_unite()
+    g = sr.write_gfa()
+    assert sr.validate_paths_match_sequences(g) == []
