@@ -103,12 +103,10 @@ def main():
     n = len(seqs)
     pairs = all_ordered_pairs(n)
 
-    # chunk cap 36: the 72 pairs split 36+36 and both chunks pad to the SAME
-    # B=64 kernel shape (one compile, balanced work) instead of 64+8 (two
-    # compiles, a lopsided tail chunk)
+    # one chunk: all 72 pairs pad to a single B=128 kernel dispatch
     cfg = RunnerConfig(
         scores=AlignmentScores.parse("0,5,8,2,24,1"),
-        max_chunk_pairs=36,
+        max_chunk_pairs=72,
         threads=16,
     )
 
@@ -146,7 +144,7 @@ def main():
         seqs2 = make_sequence_set(synth_hla())
         sr = SeqRushTPU(
             seqs2,
-            Args(output="/tmp/bench_e2e.gfa", max_chunk_pairs=36),
+            Args(output="/tmp/bench_e2e.gfa", max_chunk_pairs=72),
         )
         t0 = time.time()
         sr.align_and_unite()
