@@ -161,3 +161,19 @@ def test_allgather_single_process():
     v = u + 1
     gu, gv = allgather_edge_lists(u, v)
     assert (gu == u).all() and (gv == v).all()
+
+
+def test_stats_tool(tmp_path, capsys):
+    fam = [("a", rand_seq(120, 60)), ("b", rand_seq(120, 60))]
+    gfa = tmp_path / "g.gfa"
+    sr = SeqRushTPU(make_sequence_set(fam), Args(output=str(gfa)))
+    sr.align_and_unite()
+    sr.write_gfa()
+    from seqrush_tpu.tools.stats import main
+    import json as _json
+
+    assert main([str(gfa), "--json"]) == 0
+    st = _json.loads(capsys.readouterr().out.strip())
+    assert st["length_bp"] == 120  # identical pair collapses fully
+    assert st["paths"] == 2
+    assert st["nodes"] >= 1
