@@ -186,3 +186,25 @@ def test_paf_prepass_covers_all_pairs_under_sparsification(tmp_path):
     sr.write_gfa()
     lines = open(paf).read().splitlines()
     assert len(lines) == 5 * 4  # all ordered pairs, not the sparsified subset
+
+
+def test_malformed_paf_warn_and_skip(tmp_path, capsys):
+    """Malformed PAF records are warned about and skipped, valid ones are
+    processed (reference seqrush.rs:536-576)."""
+    fam = variant_family(n=2, length=80, seed=31)
+    # produce a valid PAF, then corrupt one line and add junk
+    paf = tmp_path / "a.paf"
+    seqs = make_sequence_set(fam)
+    sr = SeqRushTPU(seqs, Args(output=str(tmp_path / "x.gfa"), output_alignments=str(paf), no_sort=True))
+    sr.align_and_unite()
+    lines = paf.read_text().splitlines()
+    corrupted = ["too\tfew\tfields", lines[0], "q\t10\ta\tb\t+\tt\t10\t0\t10\t5\t10\t255\tcg:Z:10="]
+    bad = tmp_path / "bad.paf"
+    bad.write_text("\n".join(corrupted) + "\n")
+
+    sr2 = SeqRushTPU(make_sequence_set(fam), Args(output=str(tmp_path / "y.gfa"), paf=str(bad), no_sort=True))
+    sr2.align_and_unite()  # must not raise
+    g = sr2.write_gfa()
+    assert sr2.validate_paths_match_sequences(g) == []
+    err = capsys.readouterr().err
+    assert "Warning" in err
