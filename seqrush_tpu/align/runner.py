@@ -83,6 +83,10 @@ class RunnerConfig:
     # host-side worker threads for CIGAR decode/resolution (the reference's
     # -t rayon thread count analog for the host phase)
     threads: int = 4
+    # pairs longer than this (qlen+tlen) stream through the segmented
+    # kernel (bounded per-segment memory and program size) instead of the
+    # single-shot sweep
+    long_pair_threshold: int = 65536
     # walk tracebacks on device (reverse scan) and transfer only 2-bit
     # opcodes (~W times less host-link traffic than the packed byte tensor);
     # False fetches the byte tensor and walks on the host (C++/Python spec)
@@ -352,6 +356,18 @@ class WfaAligner:
                 return self._finish_dispatch(chunk, scores, tb, qlens, tlens, band, kw)
             except Exception:
                 self._pallas_ok = False  # lowering failed: stick to XLA
+        if kw["tmax"] > self.cfg.long_pair_threshold:
+            # long pairs: segmented sweep with carried state (bounded memory
+            # and compile size regardless of sequence length)
+            from ..ops.wfa import Penalties as _P
+
+            lp = _P(
+                kw["mismatch"], kw["o1"], kw["e1"],
+                kw["o2"] if kw["o2"] >= 0 else None,
+                kw["e2"] if kw["e2"] >= 0 else None,
+            )
+            scores, items_list = nw.nw_align_long(Q, T, qlens, tlens, lp, band=band)
+            return chunk, scores, ("items", items_list), qlens, tlens, band
         if self.cfg.device_traceback:
             # fused sweep + walk: single dispatch, opcodes-only transfer
             scores, opcodes = nw.nw_align_with_opcodes(Q, T, qlens, tlens, **kw)
@@ -376,7 +392,8 @@ class WfaAligner:
 
         scores = np.asarray(scores)
         mode, data = payload
-        data = np.asarray(data)
+        if mode != "items":
+            data = np.asarray(data)
 
         def decode(args):
             b, p, q, t = args
@@ -387,7 +404,9 @@ class WfaAligner:
             cap = self._pair_cap(int(qlens[b]), int(tlens[b]))
             if score > cap:
                 return None  # exceeds divergence cap
-            if mode == "ops":
+            if mode == "items":
+                items = data[b]
+            elif mode == "ops":
                 items = nw.decode_opcodes(data[b])
             else:
                 items = nw.traceback_pair(data[b], int(qlens[b]), int(tlens[b]), band)

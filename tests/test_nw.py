@@ -244,3 +244,30 @@ def test_one_base_pair():
     assert s[0] == 0 and s[1] == PEN.mismatch
     assert full_cigar(tb, 0, ql, tl, 8, b"A", b"A") == [(1, "=")]
     assert full_cigar(tb, 1, ql, tl, 8, b"A", b"C") == [(1, "X")]
+
+
+def test_runner_routes_long_pairs_through_segments():
+    """Pairs above long_pair_threshold use the segmented kernel and still
+    produce valid alignments through the runner."""
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=1500)].tobytes()
+    alt = bytearray(base)
+    for pos in rng.integers(0, len(alt), size=20):
+        alt[pos] = bases[rng.integers(0, 4)]
+    seqs = make_sequence_set([("a", base), ("b", bytes(alt))])
+    cfg = RunnerConfig(long_pair_threshold=1024)  # force the segmented path
+    al = WfaAligner(seqs, cfg)
+    res = al.align_pairs(np.array([[0, 1], [1, 0]], dtype=np.int32))
+    assert len(res) == 2
+    for r in res:
+        q = seqs[r.query_idx].data
+        t = seqs[r.target_idx].data
+        qc = sum(n for n, op in r.cigar if op in "=XI")
+        tc = sum(n for n, op in r.cigar if op in "=XD")
+        assert qc == len(q) and tc == len(t)
+        for n, op in r.cigar:
+            assert op in "=XID"
