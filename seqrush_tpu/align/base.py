@@ -2,11 +2,11 @@
 
 Mirrors the reference's aligner trait layer (/root/reference/src/aligner.rs:
 5-96): PAF-shaped records, a backend-agnostic protocol, and a factory.  The
-'allwave' backend is the native batched wavefront runner; 'sweepga' (FastGA
-seed-and-extend + 1:1 plane-sweep filtering) depends on an external C binary
-that is not bundled — its role is covered by the PAF input path (-p) for
-externally computed alignments, and requesting it raises a clear error from
-the factory (callers can catch and fall back).
+'allwave' backend is the native batched wavefront runner; 'sweepga' is the
+native seed-and-extend backend (minimizer anchors + colinear chaining +
+gap fill, align/sweep.py) — no external FastGA binary is involved.  The
+factory and the pipeline share one backend table (``runner_class``), so the
+two can never disagree about what a backend name means.
 """
 
 from __future__ import annotations
@@ -39,14 +39,29 @@ class Aligner(Protocol):
     def align_sequences(self, seqs: SequenceSet) -> list[AlignmentRecord]: ...
 
 
-class AllwaveBackend:
-    """All-pairs batched wavefront backend (the reference's AllwaveAligner)."""
+def runner_class(backend: str):
+    """Backend name -> runner class (single source of truth, shared with
+    pipeline.align_and_unite).  Raises ValueError on unknown names."""
+    if backend == "allwave":
+        return WfaAligner
+    if backend == "sweepga":
+        from .sweep import SweepAligner
 
-    def __init__(self, config: RunnerConfig | None = None):
+        return SweepAligner
+    raise ValueError(f"Unknown aligner '{backend}'. Available: allwave, sweepga")
+
+
+class AllwaveBackend:
+    """All-pairs batched backend (the reference's AllwaveAligner); the
+    runner class is pluggable so the same record conversion serves both
+    native backends."""
+
+    def __init__(self, config: RunnerConfig | None = None, runner_cls=WfaAligner):
         self.config = config or RunnerConfig()
+        self.runner_cls = runner_cls
 
     def align_sequences(self, seqs: SequenceSet) -> list[AlignmentRecord]:
-        runner = WfaAligner(seqs, self.config)
+        runner = self.runner_cls(seqs, self.config)
         out = []
         for r in runner.align_pairs(all_ordered_pairs(len(seqs))):
             q = seqs[r.query_idx]
@@ -70,12 +85,4 @@ class AllwaveBackend:
 
 def create_aligner(backend: str, config: RunnerConfig | None = None) -> Aligner:
     """Factory (reference aligner.rs:36-96)."""
-    if backend == "allwave":
-        return AllwaveBackend(config)
-    if backend == "sweepga":
-        raise ValueError(
-            "sweepga backend requires the external FastGA binary, which is not "
-            "bundled; produce a PAF externally and use the -p input path, or "
-            "use the 'allwave' backend"
-        )
-    raise ValueError(f"Unknown aligner '{backend}'. Available: allwave")
+    return AllwaveBackend(config, runner_cls=runner_class(backend))

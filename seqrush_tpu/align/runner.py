@@ -276,7 +276,9 @@ class WfaAligner:
                 trial = chunk + [(p, q, t)]
                 band = max(self._band_for(x[1].size, x[2].size) for x in trial)
                 tmax = _round_up(max(x[1].size + x[2].size for x in trial), 512)
-                bytes_needed = _next_pow2(len(trial)) * (tmax + 1) * (band + 1)
+                # must match _dispatch_nw_chunk's padded batch (B >= 8), or a
+                # small chunk of long pairs under-budgets by up to 8x
+                bytes_needed = max(_next_pow2(len(trial)), 8) * (tmax + 1) * (band + 1)
                 if chunk and bytes_needed > self.cfg.memory_budget_bytes:
                     break
                 if self.cfg.max_chunk_pairs and len(chunk) >= self.cfg.max_chunk_pairs:

@@ -258,7 +258,13 @@ def traceback_pair(
     while i > 0 or j > 0:
         t = i + j
         l = i - _i0_host(t, K)
-        b = int(tb[t, l]) if 0 <= l < W else 0
+        if not (0 <= l < W):
+            # out-of-band walk = corrupted traceback; fail loudly (matches
+            # the C++ twin's -1 error return in csrc nw_traceback)
+            raise AssertionError(
+                f"traceback escaped the band at t={t} (lane {l}, W={W})"
+            )
+        b = int(tb[t, l])
         if state == "H":
             choice = b & 7
             if choice == H_DIAG:
@@ -451,9 +457,11 @@ def decode_opcodes(op_row: np.ndarray) -> list[tuple[int, str]]:
 # -----------------------------------------------------------------------------
 # The reference requires whole pairs in memory (README.md:225).  Here pairs of
 # arbitrary length stream through fixed-size segments of SEG anti-diagonals:
-# the six DP state rows carry across segment calls, each segment's traceback
-# rows stay on device, and the reverse opcode scan carries the walk state the
-# other way.  Peak memory is O(B * SEG * W) regardless of sequence length.
+# the six DP state rows carry across segment calls and are checkpointed at
+# segment boundaries; the reverse opcode scan recomputes one segment's
+# traceback at a time from its checkpoint and carries the walk state the
+# other way.  Peak memory is O(B * SEG * W) regardless of sequence length
+# (the forward sweep runs twice — compute for memory, as in remat).
 
 
 @functools.partial(
@@ -615,8 +623,12 @@ def nw_align_long(
     """Arbitrary-length banded alignment via fixed-size segments.
 
     Returns (scores [B], per-pair run-length items with 'M' placeholders).
-    Peak device memory is O(B * seg * W); per-segment traceback rows stay on
-    device and only [B, seg] opcodes transfer per segment.
+    Peak device memory is O(B * seg * W) for real: the forward pass keeps
+    only the six DP carry rows checkpointed at each segment boundary
+    (O(n_seg * B * W), no traceback), and the reverse walk recomputes one
+    segment's [B, seg, W] traceback at a time from its checkpoint before
+    scanning it.  Cost: the forward sweep runs twice; memory no longer grows
+    with sequence length.  Only [B, seg] opcodes transfer per segment.
     """
     B, Lq = Q.shape
     K = band
@@ -644,15 +656,19 @@ def nw_align_long(
     D2r = jnp.full((B, W), INF, jnp.int32)
     scores = jnp.full((B,), -1, jnp.int32)
 
-    tb_segments = []
+    # forward: checkpoint the small carry state at each segment start;
+    # per-segment tracebacks are NOT retained (recomputed during reverse)
+    checkpoints = []
     state = (H1, H2, I1r, D1r, I2r, D2r, scores)
     for s_i in range(n_seg):
         t0 = s_i * seg
+        checkpoints.append(state)
         state, tb_seg = _nw_segment(Q, T, qlens, tlens, t0, *state, **kw)
-        tb_segments.append(tb_seg)  # stays on device
+        del tb_seg  # discard: the forward pass only needs the carry
     scores = np.asarray(state[6])
 
-    # reverse walk across segments
+    # reverse walk across segments, recomputing one segment's traceback at a
+    # time from its checkpoint (classic gradient-checkpointing shape)
     cur_t = jnp.asarray(qlens + tlens, dtype=jnp.int32)
     l = jnp.asarray(qlens, jnp.int32) - jnp.maximum(
         (cur_t - K + 1) // 2, 0
@@ -662,8 +678,9 @@ def nw_align_long(
     ops_parts = []
     for s_i in reversed(range(n_seg)):
         t0 = s_i * seg
+        _, tb_seg = _nw_segment(Q, T, qlens, tlens, t0, *checkpoints[s_i], **kw)
         (cur_t, l, mat, done), ops_seg = _tb_scan_segment(
-            tb_segments[s_i], t0, cur_t, l, mat, done, band=band, seg=seg
+            tb_seg, t0, cur_t, l, mat, done, band=band, seg=seg
         )
         ops_parts.append(np.asarray(ops_seg))
     ops_parts.reverse()  # ascending t order

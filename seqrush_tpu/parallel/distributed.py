@@ -48,7 +48,10 @@ def host_stripe(n_items: int, process_index: int, process_count: int) -> slice:
 def allgather_edge_lists(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Gather per-host unite edge lists across all processes.
 
-    Uses jax's process-level allgather over a padded device array.  With a
+    Per-host lists have different lengths in general, and
+    ``process_allgather`` requires identical shapes everywhere — so the
+    lengths are gathered first, every payload is padded to the global max,
+    and the per-host valid prefixes are re-sliced after the gather.  With a
     single process this is the identity.
     """
     import jax
@@ -57,7 +60,13 @@ def allgather_edge_lists(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.n
         return u, v
     from jax.experimental import multihost_utils
 
-    payload = np.stack([u, v]).astype(np.int64)
-    gathered = multihost_utils.process_allgather(payload, tiled=False)
-    gathered = np.asarray(gathered)
-    return gathered[:, 0, :].reshape(-1), gathered[:, 1, :].reshape(-1)
+    n = np.asarray([u.size], dtype=np.int64)
+    lengths = np.asarray(multihost_utils.process_allgather(n, tiled=False)).reshape(-1)
+    lmax = max(int(lengths.max()), 1)
+    payload = np.zeros((2, lmax), dtype=np.int64)
+    payload[0, : u.size] = u
+    payload[1, : v.size] = v
+    gathered = np.asarray(multihost_utils.process_allgather(payload, tiled=False))
+    us = [gathered[h, 0, : int(lengths[h])] for h in range(gathered.shape[0])]
+    vs = [gathered[h, 1, : int(lengths[h])] for h in range(gathered.shape[0])]
+    return np.concatenate(us), np.concatenate(vs)

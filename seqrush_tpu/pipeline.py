@@ -129,11 +129,10 @@ class SeqRushTPU:
         if args.paf:
             self._align_from_paf(args.paf)
             return
-        if args.aligner == "sweepga":
-            # native seed-and-extend backend (minimizer chains + gap fill)
-            from .align.sweep import SweepAligner as _AlignerCls
-        else:
-            _AlignerCls = None
+        # one backend table shared with the public factory (align/base.py)
+        from .align.base import runner_class
+
+        _AlignerCls = runner_class(args.aligner)
         scores = AlignmentScores.parse(args.scores)
         osc = AlignmentScores.parse_orientation(args.orientation_scores)
         mesh = None
@@ -152,7 +151,7 @@ class SeqRushTPU:
             max_chunk_pairs=args.max_chunk_pairs,
             threads=args.threads,
         )
-        aligner = (_AlignerCls or WfaAligner)(self.seqs, cfg)
+        aligner = _AlignerCls(self.seqs, cfg)
         n = len(self.seqs)
 
         spars = parse_sparsification(args.sparsification)
