@@ -61,7 +61,7 @@ class RunnerConfig:
         default_factory=lambda: AlignmentScores(0, 1, 1, 1, None, None)
     )
     max_divergence: float | None = None
-    band_slack: int = 128  # extra diagonals beyond the length difference
+    band_slack: int = 64  # minimum extra diagonals beyond the length difference
     initial_smax: int = 256
     memory_budget_bytes: int = int(1.5e9)
     verbose: bool = False
@@ -91,6 +91,10 @@ class RunnerConfig:
     # opcodes (~W times less host-link traffic than the packed byte tensor);
     # False fetches the byte tensor and walks on the host (C++/Python spec)
     device_traceback: bool = True
+    # DP state dtype for the Gotoh sweep: 'int32' (always exact), 'int16'
+    # (saturating; scores >= nw.INT16_CUTOFF auto-retry in int32 — halves
+    # vector register pressure on TPU)
+    dp_dtype: str = "int32"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -126,10 +130,70 @@ class WfaAligner:
         self.cfg = config or RunnerConfig()
         self.codes = [encode_bases(s.data) for s in seqs.sequences]
         self.rc_codes = [reverse_complement_codes(c).copy() for c in self.codes]
-        self.stats = {"alignments": 0, "dropped": 0, "wall_s": 0.0, "escalations": 0}
+        self.stats = {
+            "alignments": 0,
+            "dropped": 0,
+            "wall_s": 0.0,
+            "escalations": 0,
+            "band_escalations": 0,
+            "int16_retries": 0,
+            "cells_padded": 0,  # B_padded * rows * W summed over dispatches
+            "cells_true": 0,  # (qlen+tlen+1) * W summed over aligned jobs
+        }
         self._pallas_ok: bool | None = None
 
     # -- orientation ---------------------------------------------------------
+
+    def _orient_and_estimate(
+        self, pairs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sketch-stage orientation calls plus per-pair divergence estimates.
+
+        Returns (is_rev[P] bool, undecided[P] bool, d_est[P] float): sketch
+        comparison decides orientation where the fwd/RC cosine margin is
+        clear; undecided pairs are resolved by the caller (the nw path
+        aligns both orientations in the main batch — no extra dispatch).
+        d_est converts the winning cosine distance to an approximate
+        per-base divergence (shared k-mer fraction ~ (1-d)^k), which sizes
+        the initial alignment band.
+        """
+        P = len(pairs)
+        is_rev = np.zeros(P, dtype=bool)
+        undecided = np.zeros(P, dtype=bool)
+        d_est = np.zeros(P, dtype=np.float64)
+        if P == 0:
+            return is_rev, undecided, d_est
+        identical = np.zeros(P, dtype=bool)
+        for p, (i, j) in enumerate(pairs):
+            qi, tj = self.codes[i], self.codes[j]
+            if qi.size == tj.size and (qi == tj).all():
+                identical[p] = True
+        MARGIN = 0.02  # on the mash per-base-divergence scale
+        K_SKETCH = 15
+        d_fwd, d_rc = self._sketch_orientation_distances(pairs)
+        is_rev = (~identical) & (d_rc < d_fwd - MARGIN)
+        undecided = (
+            (~identical) & ~is_rev & ~(d_fwd < d_rc - MARGIN)
+        )
+        d_est = np.where(identical, 0.0, np.minimum(d_fwd, d_rc))
+        # mixed-orientation content (e.g. an inverted block): BOTH
+        # orientations share substantial k-mer content, and the chosen
+        # orientation will pay near-mismatch cost over the opposite-strand
+        # fraction f — invisible to unordered k-mer distance.  Estimate f
+        # from the two orientations' shared-kmer proportions and fold an
+        # empirical ~40%-of-random-mismatch block cost into d_est so the
+        # initial band certifies in one pass (the certificate still
+        # escalates if this underestimates).
+        mixed = (~identical) & (d_fwd < 0.35) & (d_rc < 0.35)
+        if mixed.any():
+            s_f = np.exp(-K_SKETCH * d_fwd)
+            s_r = np.exp(-K_SKETCH * d_rc)
+            f_opp = np.where(
+                is_rev, s_f, s_r
+            ) / np.maximum(s_f + s_r, 1e-9)
+            d_block = 0.45 * 0.75 * f_opp + np.minimum(d_fwd, d_rc)
+            d_est = np.where(mixed, np.maximum(d_est, d_block), d_est)
+        return is_rev, undecided, d_est
 
     def choose_orientations(self, pairs: np.ndarray) -> np.ndarray:
         """bool[P]: True where the query should be reverse-complemented.
@@ -137,36 +201,16 @@ class WfaAligner:
         Two-stage: a mash-style k-mer sketch comparison (fwd and RC sketches)
         decides clear cases; ambiguous pairs fall back to an exact banded
         edit-distance probe with the reference's '0,1,1,1' orientation
-        scores.
+        scores.  (The nw kernel path resolves ambiguity inside the main
+        batch instead — see _align_pairs_nw.)
         """
         osc = self.cfg.orientation_scores
-        P = len(pairs)
-        out = np.zeros(P, dtype=bool)
-        if P == 0:
-            return out
-        # stage 0: identical sequences are forward
-        maybe = []
-        for p, (i, j) in enumerate(pairs):
-            qi, tj = self.codes[i], self.codes[j]
-            if qi.size == tj.size and (qi == tj).all():
-                continue
-            maybe.append(p)
-        if not maybe:
-            return out
-        # stage 1: k-mer sketch orientation (fwd vs RC cosine distance)
-        MARGIN = 0.05
-        d_fwd, d_rc = self._sketch_orientation_distances(pairs)
-        undecided = []
-        for p in maybe:
-            if d_rc[p] < d_fwd[p] - MARGIN:
-                out[p] = True
-            elif d_fwd[p] < d_rc[p] - MARGIN:
-                out[p] = False
-            else:
-                undecided.append(p)
+        out, undecided_mask, _ = self._orient_and_estimate(pairs)
+        out = out.copy()
+        undecided = [p for p in range(len(pairs)) if undecided_mask[p]]
         if not undecided:
             return out
-        # stage 2: capped edit-distance wavefront probe, both orientations
+        # stage 2: capped edit-distance probe, both orientations
         qs, ts = [], []
         for p in undecided:
             i, j = pairs[p]
@@ -186,22 +230,21 @@ class WfaAligner:
         return out
 
     def _sketch_orientation_distances(self, pairs: np.ndarray):
-        """Cosine sketch distances (q fwd vs t, q RC vs t) for every pair."""
-        from ..ops.kmer import kmer_sketches
+        """Mash distances (q fwd vs t, q RC vs t) for every pair — unbiased
+        per-base divergence estimates (allwave's use_mash_orientation
+        analog).  Bucketed count-vector cosine was retired here: its
+        collision floor underestimated divergence ~5x at 3 kb, mis-sizing
+        every initial band.  The same estimate sizes the alignment band."""
+        from ..ops.kmer import mash_distance, mash_sketches
 
-        if not hasattr(self, "_sk_fwd"):
-            k = 15
-            self._sk_fwd = kmer_sketches(self.codes, k)
-            self._sk_rc = kmer_sketches(self.rc_codes, k)
-        qf = self._sk_fwd[pairs[:, 0]]
-        qr = self._sk_rc[pairs[:, 0]]
-        t = self._sk_fwd[pairs[:, 1]]
-        d_fwd_sel = 1.0 - np.einsum("pd,pd->p", qf, t)
-        d_rc_sel = 1.0 - np.einsum("pd,pd->p", qr, t)
+        if not hasattr(self, "_mh_fwd"):
+            self._mh_fwd = mash_sketches(self.codes)
+            self._mh_rc = mash_sketches(self.rc_codes)
         d_fwd = np.ones(len(pairs))
         d_rc = np.ones(len(pairs))
-        d_fwd[:] = d_fwd_sel
-        d_rc[:] = d_rc_sel
+        for p, (i, j) in enumerate(pairs):
+            d_fwd[p] = mash_distance(self._mh_fwd[i], self._mh_fwd[j])
+            d_rc[p] = mash_distance(self._mh_rc[i], self._mh_fwd[j])
         return d_fwd, d_rc
 
     # -- full alignment ------------------------------------------------------
@@ -211,8 +254,6 @@ class WfaAligner:
         t0 = time.time()
         if len(pairs) == 0:
             return []
-        is_rev = self.choose_orientations(pairs)
-        results: list[AlignmentResult] = []
         sc = self.cfg.scores
         pen = Penalties(
             sc.mismatch_penalty,
@@ -222,22 +263,25 @@ class WfaAligner:
             sc.gap2_extend if sc.has_two_piece else None,
         )
 
-        # order pairs by max length for bucketing
-        maxlens = np.array(
-            [max(self.codes[i].size, self.codes[j].size) for i, j in pairs]
-        )
-        order = np.argsort(maxlens, kind="stable")
-
         if self.cfg.kernel == "nw":
-            results = self._align_pairs_nw(pairs, order, is_rev, pen)
+            results = self._align_pairs_nw(pairs, pen)
             self.stats["alignments"] += len(results)
             self.stats["wall_s"] += time.time() - t0
             if self.cfg.verbose:
                 print(
                     f"[runner] aligned {len(results)}/{len(pairs)} pairs in "
-                    f"{self.stats['wall_s']:.2f}s ({self.stats['dropped']} dropped)"
+                    f"{self.stats['wall_s']:.2f}s ({self.stats['dropped']} dropped, "
+                    f"{self.stats['band_escalations']} band escalations)"
                 )
             return results
+
+        is_rev = self.choose_orientations(pairs)
+        results = []
+        # order pairs by max length for bucketing
+        maxlens = np.array(
+            [max(self.codes[i].size, self.codes[j].size) for i, j in pairs]
+        )
+        order = np.argsort(maxlens, kind="stable")
 
         # initial score budget; escalate unfinished pairs
         pending = [(int(p), int(self.cfg.initial_smax)) for p in order]
@@ -260,45 +304,198 @@ class WfaAligner:
         return results
 
     # -- banded anti-diagonal Gotoh path --------------------------------------
+    #
+    # Exactness contract (the reference aligner is exact end-to-end,
+    # /root/reference/src/wfa.rs:49-75): a banded score S with half-width K
+    # is certified globally optimal iff S < 2*o_min + e_min*(2K + 2 - |diff|)
+    # — any path using a cell outside |i-j| <= K is forced through at least
+    # 2K+2-|diff| indel bases in >= 2 gap runs, which costs at least that
+    # bound.  Non-certified jobs re-run with the band sized from the
+    # measured score (Ukkonen band doubling, but jumping straight to the
+    # certified width).  Initial bands are sized per pair from the k-mer
+    # sketch divergence estimate so most pairs certify on the first pass.
 
-    def _align_pairs_nw(self, pairs, order, is_rev, pen) -> list[AlignmentResult]:
-        # bucket by length so padded shapes stay tight
-        chunks = []
-        i = 0
-        order = list(order)
-        while i < len(order):
-            chunk = []
-            while i < len(order):
-                p = int(order[i])
-                qi, tj = pairs[p]
-                q = self.rc_codes[qi] if is_rev[p] else self.codes[qi]
-                t = self.codes[tj]
-                trial = chunk + [(p, q, t)]
-                band = max(self._band_for(x[1].size, x[2].size) for x in trial)
-                tmax = _round_up(max(x[1].size + x[2].size for x in trial), 512)
-                # must match _dispatch_nw_chunk's padded batch (B >= 8), or a
-                # small chunk of long pairs under-budgets by up to 8x
-                bytes_needed = max(_next_pow2(len(trial)), 8) * (tmax + 1) * (band + 1)
-                if chunk and bytes_needed > self.cfg.memory_budget_bytes:
-                    break
-                if self.cfg.max_chunk_pairs and len(chunk) >= self.cfg.max_chunk_pairs:
-                    break
-                chunk.append((p, q, t))
-                i += 1
-            chunks.append(chunk)
+    def _gap_mins(self) -> tuple[int, int]:
+        sc = self.cfg.scores
+        if sc.has_two_piece:
+            return min(sc.gap1_extend, sc.gap2_extend), min(sc.gap1_open, sc.gap2_open)
+        return sc.gap1_extend, sc.gap1_open
 
-        # pipeline: dispatch chunk k+1 (async device work) before the host
-        # traceback of chunk k
-        results: list[AlignmentResult] = []
-        inflight = None
-        for chunk in chunks:
-            dispatched = self._dispatch_nw_chunk(chunk, pen)
+    def _quantize_band(self, k: int, qlen: int, tlen: int) -> int:
+        # lane width W = k+1 in multiples of 128 (VPU lane tiling); coarser
+        # 256 quanta above 512 so near-identical wide bands share one chunk
+        quantum = 128 if k < 512 else 256
+        k = _round_up(k + 1, quantum) - 1
+        return min(k, max(qlen, tlen) + 1)
+
+    def _cert_bound(self, band: int, qlen: int, tlen: int) -> int:
+        e_min, o_min = self._gap_mins()
+        diff = abs(qlen - tlen)
+        return 2 * o_min + e_min * max(2 * band + 2 - diff, 0)
+
+    def _initial_band(self, qlen: int, tlen: int, d_est: float) -> int:
+        sc = self.cfg.scores
+        e_min, o_min = self._gap_mins()
+        diff = abs(qlen - tlen)
+        # estimated score: SNP cost + indel headroom; size K so the
+        # certificate holds at that score with a little margin
+        s_est = d_est * min(qlen, tlen) * max(sc.mismatch_penalty, 1) + 280
+        k_cert = (s_est - 2 * o_min) / (2 * max(e_min, 1)) + diff / 2
+        k = max(diff + self.cfg.band_slack, int(k_cert) + 1)
+        return self._quantize_band(k, qlen, tlen)
+
+    def _escalated_band(self, score: int, band: int, qlen: int, tlen: int) -> int:
+        e_min, o_min = self._gap_mins()
+        diff = abs(qlen - tlen)
+        k = max(
+            (score - 2 * o_min) // (2 * max(e_min, 1)) + diff // 2 + 2,
+            band + 1,
+        )
+        return self._quantize_band(int(k), qlen, tlen)
+
+    @staticmethod
+    def _quantize_batch(n: int) -> int:
+        """Smallest ladder value >= n: multiples of 8 up to 64 (tight
+        padding where chunks are small), then x1.5 geometric steps
+        (96, 128, 192, ...) to keep compiled batch shapes logarithmic."""
+        if n <= 64:
+            return max(((n + 7) // 8) * 8, 8)
+        b = 64
+        while b < n:
+            b = b * 2 if b & (b - 1) else b * 3 // 2
+        return b
+
+    def _align_pairs_nw(self, pairs, pen) -> list[AlignmentResult]:
+        is_rev, undecided, d_est = self._orient_and_estimate(pairs)
+        # jobs: (pair_idx, rc, band, force_int32).  Sketch-undecided pairs
+        # enter the batch in BOTH orientations (the reference's orientation
+        # probe as part of the main alignment — zero extra dispatches);
+        # the better score wins, ties forward (seqrush.rs simple_align
+        # policy: keep completed/better, default fwd).
+        jobs: list[tuple[int, bool, int, bool]] = []
+        for p, (qi, tj) in enumerate(pairs):
+            qlen = self.codes[qi].size
+            tlen = self.codes[tj].size
+            band0 = self._initial_band(qlen, tlen, float(d_est[p]))
+            if undecided[p]:
+                # both orientations run as a PROBE at a modest band: the
+                # orientation decision is relative (both banded equally),
+                # so d_est-sized bands would waste work on the garbage
+                # orientation; the winner escalates from its own score.
+                diff = abs(qlen - tlen)
+                band0 = min(band0, self._quantize_band(diff + 255, qlen, tlen))
+                orients = (False, True)
+            else:
+                orients = (bool(is_rev[p]),)
+            for rc in orients:
+                jobs.append((p, rc, band0, self.cfg.dp_dtype == "int32"))
+
+        attempts: dict[tuple[int, bool], AlignmentResult | None] = {}
+        queue = jobs
+        while queue:
+            chunks = self._make_nw_chunks(queue, pairs)
+            queue = []
+            retries_scored = []  # (job, banded_score)
+            # pipeline: dispatch chunk k+1 (async device work) before the
+            # host decode of chunk k
+            inflight = None
+            for chunk in chunks:
+                dispatched = self._dispatch_nw_chunk(chunk, pen)
+                if inflight is not None:
+                    done, retries = self._collect_nw_chunk(*inflight, pairs)
+                    attempts.update(done)
+                    retries_scored.extend(retries)
+                inflight = dispatched
             if inflight is not None:
-                results.extend(self._collect_nw_chunk(*inflight, pairs, is_rev))
-            inflight = dispatched
-        if inflight is not None:
-            results.extend(self._collect_nw_chunk(*inflight, pairs, is_rev))
+                done, retries = self._collect_nw_chunk(*inflight, pairs)
+                attempts.update(done)
+                retries_scored.extend(retries)
+            queue = self._prune_orientation_losers(attempts, retries_scored)
+
+        results: list[AlignmentResult] = []
+        for p in range(len(pairs)):
+            best = None
+            for rc in (False, True):
+                res = attempts.get((p, rc))
+                if res is not None and (best is None or res.score < best.score):
+                    best = res
+            if best is None:
+                if (p, False) in attempts or (p, True) in attempts:
+                    self.stats["dropped"] += 1  # exceeded divergence cap
+            else:
+                results.append(best)
         return results
+
+    def _prune_orientation_losers(self, attempts, retries_scored):
+        """Escalate only the better-scoring orientation of each pair.
+
+        The reference decides orientation with a cheap heuristic and aligns
+        ONE orientation exactly (allwave use_mash_orientation / the 0,1,1,1
+        probe, seqrush.rs:48-50); racing both orientations through band
+        escalation would spend near-full-matrix sweeps on garbage RC
+        alignments.  Banded scores are upper bounds of the true scores, so
+        choosing the smaller banded score IS the reference's probe — just a
+        sharper one.  Ties keep forward."""
+        best_known: dict[int, tuple[int, bool]] = {}
+        for (p, rc), res in attempts.items():
+            if res is not None:
+                s = res.score
+                cur = best_known.get(p)
+                if cur is None or (s, rc) < cur:
+                    best_known[p] = (s, rc)
+        for (p, rc, _band, _f32), s in retries_scored:
+            cur = best_known.get(p)
+            if cur is None or (s, rc) < cur:
+                best_known[p] = (s, rc)
+        out = []
+        for (p, rc, band, f32), s in retries_scored:
+            cur = best_known.get(p)
+            if cur is not None and (cur[0], cur[1]) < (s, rc):
+                continue  # the other orientation already scores better
+            out.append((p, rc, band, f32))
+        return out
+
+    def _make_nw_chunks(self, queue, pairs):
+        """Bucket jobs by (dtype, band) — every job in a chunk runs at its
+        own certified band bucket, never a global chunk-max — then cut
+        chunks by the traceback memory budget and max_chunk_pairs.
+
+        Small buckets (< 8 jobs) coalesce upward into the next band bucket:
+        a singleton at W=1280 padded to the minimum batch costs more than
+        widening it to join the W=1536 group (wider bands are always
+        correct, just costlier)."""
+        groups: dict[tuple[bool, int], list] = {}
+        for p, rc, band, force32 in queue:
+            qi, tj = pairs[p]
+            q = self.rc_codes[qi] if rc else self.codes[qi]
+            t = self.codes[tj]
+            groups.setdefault((force32, band), []).append((p, rc, force32, q, t))
+        # coalesce small band groups into the next-wider band (same dtype)
+        for f32 in (False, True):
+            bands = sorted(b for (f, b) in groups if f == f32)
+            for k, b in enumerate(bands[:-1]):
+                if len(groups[(f32, b)]) < 8:
+                    groups[(f32, bands[k + 1])].extend(groups.pop((f32, b)))
+
+        chunks = []
+        for (force32, band), entries in sorted(groups.items(), key=lambda kv: kv[0]):
+            entries.sort(key=lambda e: e[3].size + e[4].size)
+            i = 0
+            while i < len(entries):
+                chunk = []
+                while i < len(entries):
+                    p, rc, f32, q, t = entries[i]
+                    trial_tmax = _round_up(q.size + t.size, 512)
+                    B_pad = self._quantize_batch(len(chunk) + 1)
+                    bytes_needed = B_pad * (trial_tmax + 2) * (band + 1)
+                    if chunk and bytes_needed > self.cfg.memory_budget_bytes:
+                        break
+                    if self.cfg.max_chunk_pairs and len(chunk) >= self.cfg.max_chunk_pairs:
+                        break
+                    chunk.append((p, rc, band, f32, q, t))
+                    i += 1
+                chunks.append(chunk)
+        return chunks
 
     def _use_pallas(self) -> bool:
         if self._pallas_ok is False:
@@ -308,20 +505,22 @@ class WfaAligner:
     def _dispatch_nw_chunk(self, chunk, pen):
         from ..ops import nw
 
-        band = max(self._band_for(q.size, t.size) for _, q, t in chunk)
-        tmax = _round_up(max(q.size + t.size for _, q, t in chunk), 512)
-        B = max(_next_pow2(len(chunk)), 8)
-        lq = _round_up(max(q.size for _, q, _ in chunk), 256)
-        lt = _round_up(max(t.size for _, _, t in chunk), 256)
+        band = chunk[0][2]
+        force32 = chunk[0][3]
+        tmax = _round_up(max(q.size + t.size for *_, q, t in chunk), 512)
+        B = self._quantize_batch(len(chunk))
+        lq = _round_up(max(q.size for *_, q, _t in chunk), 256)
+        lt = _round_up(max(t.size for *_, t in chunk), 256)
         Q = np.full((B, lq), wfa.QPAD, dtype=np.uint8)
         T = np.full((B, lt), wfa.TPAD, dtype=np.uint8)
         qlens = np.zeros(B, np.int32)
         tlens = np.zeros(B, np.int32)
-        for b, (_, q, t) in enumerate(chunk):
+        for b, (*_, q, t) in enumerate(chunk):
             Q[b, : q.size] = q
             T[b, : t.size] = t
             qlens[b] = q.size
             tlens[b] = t.size
+        use_int16 = self.cfg.dp_dtype in ("int16", "auto") and not force32
         kw = dict(
             mismatch=pen.mismatch,
             o1=pen.gap1_open,
@@ -331,6 +530,7 @@ class WfaAligner:
             band=band,
             tmax=tmax,
         )
+        self.stats["cells_padded"] += B * (tmax + 2) * (band + 1)
         if self.cfg.mesh is not None:
             # shard the batch dim over the mesh; the kernel is elementwise
             # over pairs so XLA partitions it with zero communication
@@ -346,16 +546,22 @@ class WfaAligner:
                 tlens = np.concatenate([tlens, np.zeros(pad, np.int32)])
             sh = NamedSharding(self.cfg.mesh, P("data"))
             Q, T, qlens, tlens = (jax.device_put(a, sh) for a in (Q, T, qlens, tlens))
-            from ..ops import nw as nw_mod
-
-            scores, tb = nw_mod.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
-            return self._finish_dispatch(chunk, scores, tb, np.asarray(qlens), np.asarray(tlens), band, kw)
+            scores, opcodes = nw.nw_align_with_opcodes(
+                Q, T, qlens, tlens, use_int16=use_int16, **kw
+            )
+            return (
+                chunk, scores, ("ops", opcodes),
+                np.asarray(qlens), np.asarray(tlens), band, use_int16,
+            )
         if self._use_pallas():
             try:
                 from ..ops import nw_pallas
 
                 scores, tb = nw_pallas.nw_align_pallas(Q, T, qlens, tlens, **kw)
-                return self._finish_dispatch(chunk, scores, tb, qlens, tlens, band, kw)
+                opcodes = nw.traceback_scan_device(
+                    tb, qlens, tlens, band=band, tmax=tmax
+                )
+                return chunk, scores, ("ops", opcodes), qlens, tlens, band, False
             except Exception:
                 self._pallas_ok = False  # lowering failed: stick to XLA
         if kw["tmax"] > self.cfg.long_pair_threshold:
@@ -369,27 +575,25 @@ class WfaAligner:
                 kw["e2"] if kw["e2"] >= 0 else None,
             )
             scores, items_list = nw.nw_align_long(Q, T, qlens, tlens, lp, band=band)
-            return chunk, scores, ("items", items_list), qlens, tlens, band
+            return chunk, scores, ("items", items_list), qlens, tlens, band, False
         if self.cfg.device_traceback:
             # fused sweep + walk: single dispatch, opcodes-only transfer
-            scores, opcodes = nw.nw_align_with_opcodes(Q, T, qlens, tlens, **kw)
-            return chunk, scores, ("ops", opcodes), qlens, tlens, band
-        scores, tb = nw.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
-        return self._finish_dispatch(chunk, scores, tb, qlens, tlens, band, kw)
-
-    def _finish_dispatch(self, chunk, scores, tb, qlens, tlens, band, kw):
-        """Optionally run the device traceback scan before returning the
-        in-flight handle (tb stays on device in that mode)."""
-        if self.cfg.device_traceback:
-            from ..ops import nw
-
-            opcodes = nw.traceback_scan_device(
-                tb, qlens, tlens, band=band, tmax=kw["tmax"]
+            scores, opcodes = nw.nw_align_with_opcodes(
+                Q, T, qlens, tlens, use_int16=use_int16, **kw
             )
-            return chunk, scores, ("ops", opcodes), qlens, tlens, band
-        return chunk, scores, ("tb", tb), qlens, tlens, band
+            return chunk, scores, ("ops", opcodes), qlens, tlens, band, use_int16
+        scores, tb = nw.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
+        return chunk, scores, ("tb", tb), qlens, tlens, band, False
 
-    def _collect_nw_chunk(self, chunk, scores, payload, qlens, tlens, band, pairs, is_rev):
+    def _collect_nw_chunk(
+        self, chunk, scores, payload, qlens, tlens, band, used_int16, pairs
+    ):
+        """Returns (done: {(pair_idx, rc): result-or-None}, retries: jobs).
+
+        A job is retried (not returned) when its score saturated the int16
+        DP or when the band certificate fails; a None result means the pair
+        exceeded the divergence cap with a certified-exact score (the
+        reference's non-completing-WFA drop)."""
         from ..ops import nw
 
         scores = np.asarray(scores)
@@ -397,35 +601,57 @@ class WfaAligner:
         if mode != "items":
             data = np.asarray(data)
 
-        def decode(args):
-            b, p, q, t = args
-            qi, tj = pairs[p]
+        done: dict[tuple[int, bool], AlignmentResult | None] = {}
+        retries: list[tuple[tuple[int, bool, int, bool], int]] = []
+        decode_jobs = []
+        for b, (p, rc, bandj, force32, q, t) in enumerate(chunk):
+            qlen, tlen = int(qlens[b]), int(tlens[b])
             score = int(scores[b])
-            if score < 0:
-                return None
-            cap = self._pair_cap(int(qlens[b]), int(tlens[b]))
-            if score > cap:
-                return None  # exceeds divergence cap
+            if used_int16 and score >= nw.INT16_CUTOFF:
+                self.stats["int16_retries"] += 1
+                retries.append(((p, rc, bandj, True), score))
+                continue
+            exact = bandj >= max(qlen, tlen) or (
+                0 <= score < self._cert_bound(bandj, qlen, tlen)
+            )
+            if not exact:
+                self.stats["band_escalations"] += 1
+                retries.append(
+                    (
+                        (p, rc, self._escalated_band(max(score, 0), bandj, qlen, tlen), force32),
+                        score if score >= 0 else np.iinfo(np.int32).max,
+                    )
+                )
+                continue
+            if score < 0 or score > self._pair_cap(qlen, tlen):
+                done[(p, rc)] = None  # certified-exact score exceeds the cap
+                continue
+            self.stats["cells_true"] += (qlen + tlen + 1) * (bandj + 1)
+            decode_jobs.append((b, p, rc, q, t, score))
+
+        def decode(args):
+            b, p, rc, q, t, score = args
+            qi, tj = pairs[p]
             if mode == "items":
                 items = data[b]
             elif mode == "ops":
                 items = nw.decode_opcodes(data[b])
             else:
-                items = nw.traceback_pair(data[b], int(qlens[b]), int(tlens[b]), band)
+                items = nw.traceback_pair(
+                    data[b], int(qlens[b]), int(tlens[b]), band
+                )
             items = nw.resolve_matches(items, q, t)
-            return AlignmentResult(int(qi), int(tj), bool(is_rev[p]), score, items)
+            return (p, rc), AlignmentResult(int(qi), int(tj), rc, score, items)
 
-        jobs = [(b, p, q, t) for b, (p, q, t) in enumerate(chunk)]
-        if self.cfg.threads > 1 and len(jobs) > 3:
+        if self.cfg.threads > 1 and len(decode_jobs) > 3:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=self.cfg.threads) as ex:
-                decoded = list(ex.map(decode, jobs))
+                decoded = list(ex.map(decode, decode_jobs))
         else:
-            decoded = [decode(j) for j in jobs]
-        out = [r for r in decoded if r is not None]
-        self.stats["dropped"] += sum(1 for r in decoded if r is None)
-        return out
+            decoded = [decode(j) for j in decode_jobs]
+        done.update(dict(decoded))
+        return done, retries
 
     # -- internals -----------------------------------------------------------
 

@@ -45,6 +45,42 @@ def kmer_sketches(seq_codes: list[np.ndarray], k: int) -> np.ndarray:
     return out / norms
 
 
+def mash_sketches(
+    seq_codes: list[np.ndarray], k: int = 15, sketch_size: int = 512
+) -> list[np.ndarray]:
+    """Bottom-k MinHash sketches (sorted distinct hash values per sequence).
+
+    The reference's allwave decides orientation with mash-style sketching
+    (SURVEY.md §2.4 allwave row: use_mash_orientation); bottom-k MinHash
+    gives an unbiased Jaccard estimate, unlike bucketed count-vector cosine
+    whose collision floor badly inflates similarity (~5x divergence
+    underestimates at 3 kb / 1024 buckets).
+    """
+    out = []
+    for codes in seq_codes:
+        h = np.unique(_kmer_codes(codes, k))
+        out.append(h[: min(sketch_size, h.size)])  # np.unique sorts
+    return out
+
+
+def mash_distance(a: np.ndarray, b: np.ndarray, k: int = 15, sketch_size: int = 512) -> float:
+    """Mash distance d = -ln(2j/(1+j))/k from two bottom-k sketches.
+
+    j is estimated as |A cap B cap bottom-s(A cup B)| / s (the standard
+    bottom-k merge estimator)."""
+    if a.size == 0 or b.size == 0:
+        return 1.0
+    union = np.union1d(a, b)[:sketch_size]
+    inter = np.intersect1d(a, b, assume_unique=True)
+    shared = np.searchsorted(union, inter, side="right") - np.searchsorted(
+        union, inter, side="left"
+    )
+    j = float(shared.sum()) / max(union.size, 1)
+    if j <= 0.0:
+        return 1.0
+    return min(max(-np.log(2.0 * j / (1.0 + j)) / k, 0.0), 1.0)
+
+
 @jax.jit
 def _cosine_distance_matrix(sketches: jnp.ndarray) -> jnp.ndarray:
     sim = jnp.dot(sketches, sketches.T, preferred_element_type=jnp.float32)

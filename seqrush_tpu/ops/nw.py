@@ -51,6 +51,200 @@ def _i0_of(t, K):
     return jnp.maximum((t - K + 1) // 2, 0)
 
 
+def _dtype_inf(dtype):
+    """Saturation value acting as +infinity for the given DP dtype.
+
+    int16 mode saturates real scores too (see INT16_CUTOFF): every add is
+    followed by a clamp to INF, so values never overflow (INF + max penalty
+    stays below the dtype max) and any pair whose reported score reaches the
+    cutoff must be re-run in int32.
+    """
+    return INF if dtype == jnp.int32 else jnp.int16(30000)
+
+
+# scores at or above this in int16 mode are unreliable (saturation); the
+# runner re-dispatches such pairs with dtype=int32
+INT16_CUTOFF = 28000
+
+
+def _sweep_tbw(
+    Q, T, qlens, tlens, *,
+    mismatch, o1, e1, o2, e2, band, tmax, with_traceback, dtype=jnp.int32,
+    unroll=4,
+):
+    """Forward banded sweep; traceback rows in [t, B, W] layout via scan.
+
+    The band anchor i0(t) = max((t-K+1)//2, 0) advances by 0 for t <= K and
+    then alternates 1,0,1,0,... with t parity.  Exploiting that, the sweep
+    splits into:
+
+    * phase A (t in [1, TA], TA = min(K, tmax)): i0 = 0 — every dependency
+      read is a fixed lane shift;
+    * phase B (t > K): macro-steps of two rows with a statically known
+      (dp=1 then dp=0) shift pattern and dpp = 1 throughout.
+
+    This removes the 3-way `where(delta == ...)` select per dependency that
+    the round-1 kernel paid on every row (2 extra shifted copies + 2 selects
+    x 7 reads), roughly halving the per-row op count.
+
+    Returns (scores [B] int32, tb [T_total+1, B, W] uint8, T_total) where
+    T_total >= tmax (phase B rounds the row count up to an even pair).
+    """
+    B, Lq = Q.shape
+    Lt = T.shape[1]
+    K = band
+    W = K + 1
+    two = o2 >= 0
+    NEG = _dtype_inf(dtype)
+
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+
+    Qp = jnp.pad(Q, ((0, 0), (1, W)), constant_values=QPAD)
+    Trev = jnp.pad(T[:, ::-1], ((0, 0), (W, W)), constant_values=TPAD)
+
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
+
+    def row(val):
+        return jnp.full((B, W), val, dtype=dtype)
+
+    H1 = row(NEG).at[:, 0].set(0)  # t=0: only (0,0)
+    H2 = row(NEG)
+    I1r = row(NEG)
+    D1r = row(NEG)
+    I2r = row(NEG)
+    D2r = row(NEG)
+    scores = jnp.full((B,), -1, dtype=jnp.int32)
+
+    inf_col = jnp.full((B, 1), NEG, dtype)
+
+    def shift_right(x):
+        return jnp.concatenate([inf_col, x[:, :-1]], axis=1)
+
+    def shift_left(x):
+        return jnp.concatenate([x[:, 1:], inf_col], axis=1)
+
+    def compute_row(t, i0, deps, sub):
+        """One anti-diagonal given already-framed dependency rows."""
+        h_up, h_left, h_diag, i1_up, d1_left, i2_up, d2_left = deps
+        I1n = jnp.minimum(h_up + (o1 + e1), i1_up + e1)
+        i1_opened = (h_up + (o1 + e1)) <= (i1_up + e1)
+        D1n = jnp.minimum(h_left + (o1 + e1), d1_left + e1)
+        d1_opened = (h_left + (o1 + e1)) <= (d1_left + e1)
+        if two:
+            I2n = jnp.minimum(h_up + (o2 + e2), i2_up + e2)
+            i2_opened = (h_up + (o2 + e2)) <= (i2_up + e2)
+            D2n = jnp.minimum(h_left + (o2 + e2), d2_left + e2)
+            d2_opened = (h_left + (o2 + e2)) <= (d2_left + e2)
+        else:
+            I2n = jnp.full((B, W), NEG, dtype)
+            D2n = jnp.full((B, W), NEG, dtype)
+            i2_opened = jnp.zeros((B, W), bool)
+            d2_opened = jnp.zeros((B, W), bool)
+
+        Hn = h_diag + sub
+        choice = jnp.full((B, W), H_DIAG, jnp.uint8)
+        for cand, tag in ((D1n, H_D1), (I1n, H_I1), (D2n, H_D2), (I2n, H_I2)):
+            better = cand < Hn
+            Hn = jnp.where(better, cand, Hn)
+            choice = jnp.where(better, jnp.uint8(tag), choice)
+
+        i = i0 + lanes
+        j = t - i
+        valid = (i >= 0) & (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
+        Hn = jnp.where(valid, jnp.minimum(Hn, NEG), NEG)
+        I1n = jnp.where(valid, jnp.minimum(I1n, NEG), NEG)
+        D1n = jnp.where(valid, jnp.minimum(D1n, NEG), NEG)
+        I2n = jnp.where(valid, jnp.minimum(I2n, NEG), NEG)
+        D2n = jnp.where(valid, jnp.minimum(D2n, NEG), NEG)
+
+        packed = (
+            choice
+            | (i1_opened.astype(jnp.uint8) << 3)
+            | (i2_opened.astype(jnp.uint8) << 4)
+            | (d1_opened.astype(jnp.uint8) << 5)
+            | (d2_opened.astype(jnp.uint8) << 6)
+        )
+        return Hn, I1n, D1n, I2n, D2n, packed
+
+    def capture_score(scores, t, i0, Hn):
+        fin_lane = qlens[:, None] - i0
+        at_final = (t == (qlens + tlens))[:, None] & (lanes == fin_lane)
+        fin_val = jnp.min(jnp.where(at_final, Hn.astype(jnp.int32), INF), axis=1)
+        return jnp.where(
+            (t == (qlens + tlens)) & (scores < 0) & (fin_val < INF), fin_val, scores
+        )
+
+    def sub_at(t, i0):
+        qwin = jax.lax.dynamic_slice_in_dim(
+            Qp, jnp.clip(i0, 0, Qp.shape[1] - W), W, axis=1
+        )
+        twin = jax.lax.dynamic_slice_in_dim(
+            Trev, jnp.clip(Lt - t + i0 + W, 0, Trev.shape[1] - W), W, axis=1
+        )
+        return jnp.where(qwin == twin, 0, mismatch).astype(dtype)
+
+    # ---- phase A: t in [1, TA], i0 = 0: up/diag = shift_right, left = id --
+    TA = min(K, tmax)
+
+    def body_a(carry, t):
+        H1, H2, I1r, D1r, I2r, D2r, scores = carry
+        deps = (
+            shift_right(H1), H1, shift_right(H2),
+            shift_right(I1r), D1r, shift_right(I2r), D2r,
+        )
+        Hn, I1n, D1n, I2n, D2n, packed = compute_row(t, 0, deps, sub_at(t, 0))
+        scores = capture_score(scores, t, 0, Hn)
+        carry = (Hn, H1, I1n, D1n, I2n, D2n, scores)
+        return carry, packed if with_traceback else jnp.zeros((B, 0), jnp.uint8)
+
+    carry = (H1, H2, I1r, D1r, I2r, D2r, scores)
+    ts_a = jnp.arange(1, TA + 1, dtype=jnp.int32)
+    carry, tb_a = jax.lax.scan(body_a, carry, ts_a, unroll=unroll)
+
+    # ---- phase B: t in [TA+1, TA+2M], macro-steps of (dp=1, dp=0) rows ----
+    M = max(0, -(-(tmax - TA) // 2))
+    T_total = TA + 2 * M
+
+    def body_b(carry, m):
+        H1, H2, I1r, D1r, I2r, D2r, scores = carry
+        # row 1: t1 = TA + 1 + 2m, dp = 1, dpp = 1:
+        #   up/diag lane delta 0 (identity), left delta +1 (shift_left)
+        t1 = TA + 1 + 2 * m
+        i0_1 = (t1 - K + 1) // 2
+        deps = (H1, shift_left(H1), H2, I1r, shift_left(D1r), I2r, shift_left(D2r))
+        Hn, I1n, D1n, I2n, D2n, p1 = compute_row(t1, i0_1, deps, sub_at(t1, i0_1))
+        scores = capture_score(scores, t1, i0_1, Hn)
+        H2, H1 = H1, Hn
+        I1r, D1r, I2r, D2r = I1n, D1n, I2n, D2n
+        # row 2: t2 = t1 + 1, dp = 0, dpp = 1:
+        #   up delta -1 (shift_right), left delta 0, diag delta 0
+        t2 = t1 + 1
+        i0_2 = i0_1  # dp = 0
+        deps = (shift_right(H1), H1, H2, shift_right(I1r), D1r, shift_right(I2r), D2r)
+        Hn, I1n, D1n, I2n, D2n, p2 = compute_row(t2, i0_2, deps, sub_at(t2, i0_2))
+        scores = capture_score(scores, t2, i0_2, Hn)
+        carry = (Hn, H1, I1n, D1n, I2n, D2n, scores)
+        ys = (
+            jnp.stack([p1, p2]) if with_traceback else jnp.zeros((2, B, 0), jnp.uint8)
+        )
+        return carry, ys
+
+    if M > 0:
+        ms = jnp.arange(M, dtype=jnp.int32)
+        carry, tb_b = jax.lax.scan(body_b, carry, ms, unroll=max(unroll // 2, 1))
+    scores = carry[6]
+
+    if not with_traceback:
+        return scores, None, T_total
+
+    parts = [jnp.zeros((1, B, W), jnp.uint8), tb_a]
+    if M > 0:
+        parts.append(tb_b.reshape(2 * M, B, W))
+    tb = jnp.concatenate(parts, axis=0)  # [T_total + 1, B, W]
+    return scores, tb, T_total
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mismatch", "o1", "e1", "o2", "e2", "band", "tmax", "with_traceback"),
@@ -76,154 +270,19 @@ def nw_align_device(
     band: half-width K; lanes cover i in [i0(t), i0(t)+W).
     tmax: static anti-diagonal count (>= max qlen+tlen).
     Returns (scores [B] int32, traceback [B, tmax+1, W] uint8 or empty).
+
+    Compatibility wrapper over the phase-split sweep (_sweep_tbw); the hot
+    path (nw_align_with_opcodes) keeps the traceback in [t, B, W] layout and
+    never materializes this transpose.
     """
-    B, Lq = Q.shape
-    Lt = T.shape[1]
-    K = band
-    W = K + 1
-    two = o2 >= 0
-
-    qlens = qlens.astype(jnp.int32)
-    tlens = tlens.astype(jnp.int32)
-
-    # padded sequence views (loop-invariant; hoisted out of the sweep body)
-    W_pad = K + 1
-    Qp = jnp.pad(Q, ((0, 0), (1, W_pad)), constant_values=QPAD)
-    Trev = jnp.pad(T[:, ::-1], ((0, 0), (W_pad, W_pad)), constant_values=TPAD)
-
-    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
-
-    def row(val):
-        return jnp.full((B, W), val, dtype=jnp.int32)
-
-    # state rows at t-1 and t-2
-    H1 = row(INF)
-    H2 = row(INF)
-    I1r = row(INF)
-    D1r = row(INF)
-    I2r = row(INF)
-    D2r = row(INF)
-    # t = 0: only cell (0,0): i0(0)=0, lane 0
-    H1 = H1.at[:, 0].set(0)
-
-    scores = jnp.full((B,), -1, dtype=jnp.int32)
-    if with_traceback:
-        tb0 = jnp.zeros((B, tmax + 1, W), dtype=jnp.uint8)
-    else:
-        tb0 = jnp.zeros((B, 1, 1), dtype=jnp.uint8)
-
-    def shift_right(x):
-        """lane l reads previous row's lane l-1 (i-1 when bases align)."""
-        return jnp.concatenate([jnp.full((B, 1), INF, jnp.int32), x[:, :-1]], axis=1)
-
-    def body(t, state):
-        H1, H2, I1r, D1r, I2r, D2r, scores, tb = state
-        i0 = _i0_of(t, K)
-        i0p = _i0_of(t - 1, K)
-        i0pp = _i0_of(t - 2, K)
-        dp = i0 - i0p  # 0 or 1
-        dpp = i0 - i0pp  # always... i0(t)-i0(t-2) in {0,1}
-
-        i = i0 + lanes  # [1, W] broadcast below
-        j = t - i  # [1, W] per-batch same (lens differ only in masks)
-
-        # align previous rows into current lane frame:
-        # (i-1, j)  at t-1: lane (i-1) - i0p = l + (dp - 1)
-        # (i,  j-1) at t-1: lane i - i0p = l + dp
-        # (i-1,j-1) at t-2: lane (i-1) - i0pp = l + (dpp - 1)
-        def frame(x, delta):
-            """read prev row at lane l + delta, delta in {-1, 0, 1}."""
-            sr = shift_right(x)  # delta = -1
-            sl = jnp.concatenate([x[:, 1:], jnp.full((B, 1), INF, jnp.int32)], axis=1)
-            return jnp.where(delta == -1, sr, jnp.where(delta == 0, x, sl))
-
-        h_up = frame(H1, dp - 1)  # H[i-1, j]
-        h_left = frame(H1, dp)  # H[i, j-1]
-        h_diag = frame(H2, dpp - 1)  # H[i-1, j-1]
-        i1_up = frame(I1r, dp - 1)
-        d1_left = frame(D1r, dp)
-        i2_up = frame(I2r, dp - 1)
-        d2_left = frame(D2r, dp)
-
-        # substitution: q[i-1] vs t[j-1] (1-based cells)
-        qwin = jax.lax.dynamic_slice_in_dim(
-            Qp, jnp.clip(i0, 0, Qp.shape[1] - W), W, axis=1
-        )
-        # t[j-1] with j = t - i decreasing in lane: Trev index Lt - t + i
-        twin = jax.lax.dynamic_slice_in_dim(
-            Trev, jnp.clip(Lt - t + i0 + W, 0, Trev.shape[1] - W), W, axis=1
-        )
-        sub = jnp.where(qwin == twin, 0, mismatch).astype(jnp.int32)
-
-        i1_open = jnp.minimum(h_up + (o1 + e1), i1_up + e1)
-        I1n = i1_open
-        i1_opened = (h_up + (o1 + e1)) <= (i1_up + e1)
-        d1_open = jnp.minimum(h_left + (o1 + e1), d1_left + e1)
-        D1n = d1_open
-        d1_opened = (h_left + (o1 + e1)) <= (d1_left + e1)
-        if two:
-            I2n = jnp.minimum(h_up + (o2 + e2), i2_up + e2)
-            i2_opened = (h_up + (o2 + e2)) <= (i2_up + e2)
-            D2n = jnp.minimum(h_left + (o2 + e2), d2_left + e2)
-            d2_opened = (h_left + (o2 + e2)) <= (d2_left + e2)
-        else:
-            I2n = row(INF)
-            D2n = row(INF)
-            i2_opened = jnp.zeros((B, W), bool)
-            d2_opened = jnp.zeros((B, W), bool)
-
-        diag = h_diag + sub
-        # H choice with documented tie order: diag, D1, I1, D2, I2
-        Hn = diag
-        choice = jnp.full((B, W), H_DIAG, jnp.uint8)
-        for cand, tag in ((D1n, H_D1), (I1n, H_I1), (D2n, H_D2), (I2n, H_I2)):
-            better = cand < Hn
-            Hn = jnp.where(better, cand, Hn)
-            choice = jnp.where(better, jnp.uint8(tag), choice)
-
-        # in-bounds mask: 0 <= i <= qlen, 0 <= j <= tlen, (i,j) != (0,0) handled
-        valid = (
-            (i >= 0)
-            & (i <= qlens[:, None])
-            & (j >= 0)
-            & (j <= tlens[:, None])
-        )
-        Hn = jnp.where(valid, Hn, INF)
-        I1n = jnp.where(valid, jnp.minimum(I1n, INF), INF)
-        D1n = jnp.where(valid, jnp.minimum(D1n, INF), INF)
-        I2n = jnp.where(valid, jnp.minimum(I2n, INF), INF)
-        D2n = jnp.where(valid, jnp.minimum(D2n, INF), INF)
-        Hn = jnp.minimum(Hn, INF)
-
-        # capture final score when t == qlen + tlen at lane qlen - i0
-        fin_lane = qlens[:, None] - i0
-        at_final = (t == (qlens + tlens))[:, None] & (lanes == fin_lane)
-        fin_val = jnp.min(jnp.where(at_final, Hn, INF), axis=1)
-        scores = jnp.where(
-            (t == (qlens + tlens)) & (scores < 0) & (fin_val < INF), fin_val, scores
-        )
-
-        packed = (
-            choice
-            | (i1_opened.astype(jnp.uint8) << 3)
-            | (i2_opened.astype(jnp.uint8) << 4)
-            | (d1_opened.astype(jnp.uint8) << 5)
-            | (d2_opened.astype(jnp.uint8) << 6)
-        )
-        if with_traceback:
-            tb = jax.lax.dynamic_update_slice_in_dim(
-                tb, packed[:, None, :], t, axis=1
-            )
-
-        return (Hn, H1, I1n, D1n, I2n, D2n, scores, tb)
-
-    state = (H1, H2, I1r, D1r, I2r, D2r, scores, tb0)
-    # unroll=2 amortizes the per-iteration loop overhead (the body is tiny
-    # relative to TPU loop fixed costs)
-    state = jax.lax.fori_loop(1, tmax + 1, body, state, unroll=2)
-    scores = state[6]
-    tb = state[7]
-    return scores, tb
+    scores, tb, _ = _sweep_tbw(
+        Q, T, qlens, tlens,
+        mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2,
+        band=band, tmax=tmax, with_traceback=with_traceback,
+    )
+    if not with_traceback:
+        return scores, jnp.zeros((Q.shape[0], 1, 1), dtype=jnp.uint8)
+    return scores, jnp.transpose(tb[: tmax + 1], (1, 0, 2))
 
 
 # -----------------------------------------------------------------------------
@@ -689,33 +748,105 @@ def nw_align_long(
     return scores, items
 
 
+def _tb_scan_tbw(tb, qlens, tlens, *, band: int, t_total: int, unroll: int = 4):
+    """Reverse opcode scan over a [t, B, W]-layout traceback (row slice =
+    one static-shape dynamic_slice on axis 0; no transpose materialized)."""
+    B = tb.shape[1]
+    W = band + 1
+    K = band
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def i0_of(t):
+        return jnp.maximum((t - K + 1) // 2, 0)
+
+    cur_t0 = qlens + tlens
+    l0 = qlens - i0_of(cur_t0)
+    mat0 = jnp.zeros(B, jnp.int32)  # 0 H, 1 D1, 2 I1, 3 D2, 4 I2
+    done0 = cur_t0 == 0
+
+    def body(state, td):
+        cur_t, l, mat, done = state
+        row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=0)[0].astype(jnp.int32)
+        active = (~done) & (cur_t == td)
+        b = jnp.sum(jnp.where(lanes == l[:, None], row, 0), axis=1)
+
+        i0_t = i0_of(td)
+        i = i0_t + l
+        j = td - i
+
+        choice = b & 7
+        is_h = mat == 0
+        go_d1 = (is_h & (choice == H_D1)) | (mat == 1)
+        go_i1 = (is_h & (choice == H_I1)) | (mat == 2)
+        go_d2 = (is_h & (choice == H_D2)) | (mat == 3)
+        go_i2 = (is_h & (choice == H_I2)) | (mat == 4)
+        diag = is_h & (choice == H_DIAG)
+
+        opened = jnp.where(
+            go_d1, (b >> 5) & 1,
+            jnp.where(go_i1, (b >> 3) & 1,
+                      jnp.where(go_d2, (b >> 6) & 1, (b >> 4) & 1)),
+        ).astype(jnp.bool_)
+
+        gap_d = go_d1 | go_d2
+        gap_i = go_i1 | go_i2
+
+        op = jnp.where(diag, OP_M, jnp.where(gap_i, OP_I, jnp.where(gap_d, OP_D, OP_NONE)))
+        ni = jnp.where(diag | gap_i, i - 1, i)
+        nj = jnp.where(diag | gap_d, j - 1, j)
+        nmat = jnp.where(
+            diag | opened,
+            0,
+            jnp.where(go_d1, 1, jnp.where(go_i1, 2, jnp.where(go_d2, 3, 4))),
+        )
+
+        nt = ni + nj
+        nl = ni - i0_of(nt)
+        ndone = (ni == 0) & (nj == 0)
+
+        cur_t = jnp.where(active, nt, cur_t)
+        l = jnp.where(active, nl, l)
+        mat = jnp.where(active, nmat, mat)
+        done = done | (active & ndone)
+        emitted = jnp.where(active, op, OP_NONE).astype(jnp.uint8)
+        return (cur_t, l, mat, done), emitted
+
+    tds = jnp.arange(t_total, 0, -1, dtype=jnp.int32)
+    _, ops_rev = jax.lax.scan(body, (cur_t0, l0, mat0, done0), tds, unroll=unroll)
+    ops = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.uint8), ops_rev[::-1]], axis=0
+    ).T
+    return ops
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mismatch", "o1", "e1", "o2", "e2", "band", "tmax"),
+    static_argnames=(
+        "mismatch", "o1", "e1", "o2", "e2", "band", "tmax", "use_int16",
+        "unroll", "tb_unroll",
+    ),
 )
 def nw_align_with_opcodes(
-    Q, T, qlens, tlens, *, mismatch, o1, e1, o2, e2, band, tmax
+    Q, T, qlens, tlens, *, mismatch, o1, e1, o2, e2, band, tmax,
+    use_int16=False, unroll=4, tb_unroll=4,
 ):
     """Fused sweep + device traceback: one dispatch, opcodes-only output.
 
     The packed traceback tensor lives only inside the program (HBM scratch
-    between the forward sweep and the reverse opcode scan) — nothing but
-    scores [B] and opcodes [B, tmax+1] is materialized for the host.  Halves
-    the per-chunk dispatch count, which dominates over high-latency links.
+    between the forward sweep and the reverse opcode scan, in [t, B, W]
+    layout throughout) — nothing but scores [B] and opcodes [B, T+1] is
+    materialized for the host.  With use_int16 the DP runs in saturating
+    int16 (scores >= INT16_CUTOFF are unreliable; callers re-run those
+    pairs in int32).
     """
-    scores, tb = nw_align_device(
-        Q,
-        T,
-        qlens,
-        tlens,
-        mismatch=mismatch,
-        o1=o1,
-        e1=e1,
-        o2=o2,
-        e2=e2,
-        band=band,
-        tmax=tmax,
-        with_traceback=True,
+    scores, tb, t_total = _sweep_tbw(
+        Q, T, qlens, tlens,
+        mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2,
+        band=band, tmax=tmax, with_traceback=True,
+        dtype=jnp.int16 if use_int16 else jnp.int32,
+        unroll=unroll,
     )
-    ops = traceback_scan_device(tb, qlens, tlens, band=band, tmax=tmax)
+    ops = _tb_scan_tbw(tb, qlens, tlens, band=band, t_total=t_total, unroll=tb_unroll)
     return scores, ops

@@ -58,20 +58,54 @@ class SeqRushTPU:
         self._flush_unites()
         return uf.count_components(self.parent, self.total_length)
 
+    @staticmethod
+    def _process_count() -> int:
+        import jax
+
+        try:
+            return jax.process_count()
+        except Exception:
+            return 1
+
     def _queue_unites(self, u: np.ndarray, v: np.ndarray) -> None:
         if u.size:
             self._edge_u.append(u)
             self._edge_v.append(v)
-        # flush periodically to bound host memory
-        if sum(a.size for a in self._edge_u) > 50_000_000:
+        # flush periodically to bound host memory.  Multi-host: the flush is
+        # a collective (edge-list allgather), so it must happen at points
+        # every host reaches — opportunistic size-triggered flushes would
+        # deadlock when only one host's buffer crosses the threshold.
+        if self._process_count() == 1 and sum(a.size for a in self._edge_u) > 50_000_000:
             self._flush_unites()
 
     def _flush_unites(self) -> None:
-        if not self._edge_u:
+        if self._process_count() > 1:
+            # every host contributes its stripe's edges and applies the
+            # identical deterministic unite -> bitwise-identical parent on
+            # every host (SURVEY.md §5 distributed backend items (4)-(5));
+            # must run even with an empty local buffer (collective)
+            from .parallel.distributed import allgather_edge_lists
+
+            u = (
+                np.concatenate(self._edge_u)
+                if self._edge_u
+                else np.zeros(0, np.int64)
+            )
+            v = (
+                np.concatenate(self._edge_v)
+                if self._edge_v
+                else np.zeros(0, np.int64)
+            )
+            self._edge_u, self._edge_v = [], []
+            u, v = allgather_edge_lists(u, v)
+            if not u.size:
+                return
+        elif not self._edge_u:
             return
-        u = np.concatenate(self._edge_u)
-        v = np.concatenate(self._edge_v)
-        self._edge_u, self._edge_v = [], []
+        else:
+            u = np.concatenate(self._edge_u)
+            v = np.concatenate(self._edge_v)
+            self._edge_u, self._edge_v = [], []
         # host C++ union-find when available (same deterministic min-roots,
         # no compile); jax bulk unite otherwise / for device-resident runs
         try:
@@ -178,6 +212,7 @@ class SeqRushTPU:
             pairs = schedule_pairs(n, spars, seed=args.seed, kmer_distances=kdist)
             if args.verbose:
                 print(f"Total sequence pairs: {len(pairs)} (sparsification: {spars.kind})")
+            pairs = self._host_stripe_pairs(pairs)
             with self.timer.phase("align"):
                 results = aligner.align_pairs(pairs)
             self.timer.count("alignments", len(results))
@@ -194,6 +229,27 @@ class SeqRushTPU:
                 self._queue_unites(u, v)
         self._flush_unites()
         self.stats["aligner"] = aligner.stats
+
+    def _host_stripe_pairs(self, pairs: np.ndarray) -> np.ndarray:
+        """Multi-host data parallelism over the pair list: each host aligns
+        a contiguous stripe; the edge-list allgather in _flush_unites makes
+        the union-find (and therefore the graph) identical on every host
+        (the multi-host extension of the reference's rayon pair loop,
+        seqrush.rs:728-756)."""
+        pc = self._process_count()
+        if pc <= 1:
+            return pairs
+        import jax
+
+        from .parallel.distributed import host_stripe
+
+        stripe = host_stripe(len(pairs), jax.process_index(), pc)
+        if self.args.verbose:
+            print(
+                f"[multihost] process {jax.process_index()}/{pc} aligns pairs "
+                f"[{stripe.start}:{stripe.stop}) of {len(pairs)}"
+            )
+        return pairs[stripe]
 
     def _align_iterative(self, aligner: WfaAligner, kdist, spars) -> None:
         """Two-phase iterative alignment with stabilization detection
@@ -242,7 +298,15 @@ class SeqRushTPU:
     def _paf_out(self, results) -> None:
         if not self.args.output_alignments:
             return
-        with open(self.args.output_alignments, "w") as fh:
+        path = self.args.output_alignments
+        if self._process_count() > 1:
+            # each host records its own stripe (reference uses one mutexed
+            # writer, seqrush.rs:677-716; per-host part files are the
+            # multi-host analog — concatenate for the full set)
+            import jax
+
+            path = f"{path}.host{jax.process_index()}"
+        with open(path, "w") as fh:
             for res in results:
                 rec = alignment_to_paf(res, self.seqs)
                 if self.args.validate_paf:
@@ -367,7 +431,16 @@ class SeqRushTPU:
         if errors:
             raise RuntimeError("Path validation failed!\n" + "\n".join(errors))
 
-        with open(args.output, "w") as fh:
+        out_path = args.output
+        if self._process_count() > 1:
+            # the converged parent (and so the graph) is bitwise identical on
+            # every host; host 0 owns the canonical file, other hosts write
+            # .hostN twins (also lets tests assert cross-host byte equality)
+            import jax
+
+            if jax.process_index() != 0:
+                out_path = f"{args.output}.host{jax.process_index()}"
+        with open(out_path, "w") as fh:
             graph.write_gfa(fh)
         self.stats["write_wall_s"] = time.time() - t0
         if args.verbose:

