@@ -206,5 +206,7 @@ for dtype in ("int32", "int16"):
           f"esc={al.stats['band_escalations']} i16retry={al.stats['int16_retries']}", flush=True)
 
 print(json.dumps(REPORT, indent=1))
-with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "docs", "PROFILE_TPU.json"), "w") as fh:
+out_dir = os.path.join("/root/repo", "docs")
+os.makedirs(out_dir, exist_ok=True)
+with open(os.path.join(out_dir, "PROFILE_TPU.json"), "w") as fh:
     json.dump(REPORT, fh, indent=1)

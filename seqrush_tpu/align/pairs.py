@@ -94,19 +94,22 @@ def schedule_pairs(
     if kind == "none":
         return pairs
     if kind == "auto":
-        # allwave's auto: keep all pairs below a size threshold, otherwise
-        # connectivity-preserving random subset ~ O(n log n) pairs
+        # NOTE — documented divergence: the reference delegates 'auto' to
+        # allwave's unpublished Auto strategy (submodule empty in the
+        # snapshot, unverifiable).  Ours: keep all pairs for small inputs,
+        # otherwise an O(n log n) random subset unioned with the k-mer-MST
+        # connectivity backbone.
         if n <= 64:
             return pairs
         keep_prob = min(1.0, 4.0 * np.log(max(n, 2)) / n)
         rng = np.random.default_rng(seed)
         mask = rng.random(len(pairs)) < keep_prob
-        return _ensure_connected(pairs[mask], n)
+        return _ensure_connected(pairs[mask], n, kmer_distances)
     if kind in ("random", "connectivity"):
         rng = np.random.default_rng(seed)
         mask = rng.random(len(pairs)) < sparsification.factor
         kept = pairs[mask]
-        return _ensure_connected(kept, n) if kind == "connectivity" else kept
+        return _ensure_connected(kept, n, kmer_distances) if kind == "connectivity" else kept
     if kind == "tree":
         from ..ops.kmer import tree_sampling_pairs
 
@@ -123,12 +126,25 @@ def schedule_pairs(
     raise ValueError(f"unknown sparsification kind {kind}")
 
 
-def _ensure_connected(pairs: np.ndarray, n: int) -> np.ndarray:
-    """Add a chain i -> i+1 so the alignment graph stays connected."""
-    chain = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1).astype(np.int32)
+def _ensure_connected(
+    pairs: np.ndarray, n: int, kmer_distances: np.ndarray | None = None
+) -> np.ndarray:
+    """Union the kept pairs with a connectivity backbone.
+
+    With k-mer distances available the backbone is the sketch-distance MST
+    (closest sequences get aligned — maximal unite yield per alignment);
+    the input-order chain i -> i+1 is only the distance-blind fallback."""
+    if kmer_distances is not None and kmer_distances.shape[0] == n and n >= 2:
+        from ..ops.kmer import mst_pairs
+
+        backbone = mst_pairs(kmer_distances)
+    else:
+        backbone = np.stack(
+            [np.arange(n - 1), np.arange(1, n)], axis=1
+        ).astype(np.int32)
     if pairs.size == 0:
-        return chain
+        return backbone
     key = pairs[:, 0].astype(np.int64) * n + pairs[:, 1]
-    ckey = chain[:, 0].astype(np.int64) * n + chain[:, 1]
+    ckey = backbone[:, 0].astype(np.int64) * n + backbone[:, 1]
     missing = ~np.isin(ckey, key)
-    return np.concatenate([pairs, chain[missing]], axis=0)
+    return np.concatenate([pairs, backbone[missing]], axis=0)

@@ -68,12 +68,13 @@ class RunnerConfig:
     # alignment kernel: 'nw' = banded anti-diagonal Gotoh (shift-only,
     # TPU speed-of-light); 'wfa' = score-adaptive wavefront
     kernel: str = "nw"
-    # kernel implementation: 'xla' (default) or 'pallas'.  The pallas Gotoh
-    # kernel is validated bit-identical in interpret mode, but the axon
-    # TPU tunnel's remote-compile helper crashes on ANY pallas program
-    # (including trivial ones), so it must be opted into explicitly on
-    # environments with a direct TPU runtime.
-    kernel_impl: str = "xla"
+    # kernel implementation: 'auto' (default) probes the runtime once — on a
+    # direct TPU backend it try-compiles the pallas Gotoh kernel and uses it
+    # when the probe passes; 'xla' forces the XLA sweep; 'pallas' forces the
+    # hand-placed kernel.  The axon TPU tunnel's remote-compile helper
+    # crashes on ANY pallas program (including trivial ones), so 'auto'
+    # never probes through it (backend name 'axon' != 'tpu').
+    kernel_impl: str = "auto"
     # optional jax.sharding.Mesh with a 'data' axis: alignment batches are
     # sharded on the batch dim across its devices (single-host multi-chip)
     mesh: object = None
@@ -498,9 +499,40 @@ class WfaAligner:
         return chunks
 
     def _use_pallas(self) -> bool:
-        if self._pallas_ok is False:
+        if self._pallas_ok is not None:
+            return self._pallas_ok
+        mode = self.cfg.kernel_impl
+        if mode == "pallas":
+            self._pallas_ok = True
+        elif mode == "auto":
+            self._pallas_ok = self._probe_pallas()
+        else:
+            self._pallas_ok = False
+        return self._pallas_ok
+
+    def _probe_pallas(self) -> bool:
+        """Try-compile the pallas kernel on a tiny shape (once per runner).
+
+        Only attempted on a direct TPU backend: pallas cannot lower on CPU
+        outside interpret mode, and the axon tunnel's remote compiler
+        crashes on any pallas program (its backend name is 'axon')."""
+        import jax
+
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+            from ..ops import nw_pallas
+
+            Q = np.zeros((8, 32), np.uint8)
+            T = np.zeros((8, 32), np.uint8)
+            lens = np.full(8, 16, np.int32)
+            scores, _ = nw_pallas.nw_align_pallas(
+                Q, T, lens, lens, mismatch=5, o1=8, e1=2, o2=24, e2=1,
+                band=15, tmax=32,
+            )
+            return int(np.asarray(scores)[0]) == 0
+        except Exception:
             return False
-        return self.cfg.kernel_impl == "pallas"
 
     def _dispatch_nw_chunk(self, chunk, pen):
         from ..ops import nw

@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--output-alignments", default=None, dest="output_alignments")
     p.add_argument("--validate-paf", action="store_true", default=True, dest="validate_paf")
+    p.add_argument(
+        "--paf-strand-convention", choices=("seqrush", "standard"),
+        default="seqrush", dest="paf_convention",
+        help="'-' record query-coordinate convention for -p input: 'seqrush' "
+        "(RC-space, reference-faithful, matches --output-alignments) or "
+        "'standard' (minimap2-style original-strand coords)",
+    )
     p.add_argument("--seqwish-style", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--no-sort", action="store_true", dest="no_sort")
     p.add_argument("--skip-sgd", action="store_true", help=argparse.SUPPRESS)

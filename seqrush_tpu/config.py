@@ -45,8 +45,18 @@ class Args:
     aligner: str = "allwave"
     frequency: int | None = None
     iterative: bool = False
+    # PAF '-'-strand coordinate convention for -p input:
+    #  'seqrush'  — reference-faithful: query_start/end of '-' records are in
+    #               REVERSE-COMPLEMENT space and the CIGAR walks the RC'd
+    #               query (seqrush.rs:594-601 + process_alignment RC
+    #               read-back).  Nonstandard but required for replaying
+    #               --output-alignments files.
+    #  'standard' — minimap2-style: query coords of '-' records are on the
+    #               ORIGINAL strand (q_start_rc = qlen - q_end); use this to
+    #               replay externally produced PAFs.
+    paf_convention: str = "seqrush"
     # TPU-specific extensions
-    band_slack: int = 128
+    band_slack: int = 64
     seed: int = 42
     inversion_aware: bool = False  # reference inversion_aware_seqrush mode
     mesh_devices: int | None = None  # shard alignment batches over N devices

@@ -93,6 +93,29 @@ def kmer_distance_matrix(seq_codes: list[np.ndarray], k: int) -> np.ndarray:
     return np.asarray(_cosine_distance_matrix(jnp.asarray(sketches)))
 
 
+def mst_pairs(dist: np.ndarray) -> np.ndarray:
+    """Minimum spanning tree edges (Prim) over a dense distance matrix —
+    the distance-aware connectivity guarantee for sparsified pair schedules
+    ([n-1, 2] int32)."""
+    n = dist.shape[0]
+    if n < 2:
+        return np.zeros((0, 2), dtype=np.int32)
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[0] = True
+    best = dist[0].copy()
+    best_from = np.zeros(n, dtype=np.int64)
+    out = []
+    for _ in range(n - 1):
+        cand = np.where(in_tree, np.inf, best)
+        j = int(np.argmin(cand))
+        out.append((int(best_from[j]), j))
+        in_tree[j] = True
+        upd = dist[j] < best
+        best = np.where(upd, dist[j], best)
+        best_from = np.where(upd, j, best_from)
+    return np.array(out, dtype=np.int32)
+
+
 def tree_sampling_pairs(
     dist: np.ndarray,
     k_nearest: int,
@@ -120,19 +143,9 @@ def tree_sampling_pairs(
             for j in order[i, ::-1][:k_farthest]:
                 if int(j) != i:
                     chosen.add((i, int(j)))
-    # MST (Prim) for connectivity
-    in_tree = np.zeros(n, dtype=bool)
-    in_tree[0] = True
-    best = dist[0].copy()
-    best_from = np.zeros(n, dtype=np.int64)
-    for _ in range(n - 1):
-        cand = np.where(in_tree, np.inf, best)
-        j = int(np.argmin(cand))
-        chosen.add((int(best_from[j]), j))
-        in_tree[j] = True
-        upd = dist[j] < best
-        best = np.where(upd, dist[j], best)
-        best_from = np.where(upd, j, best_from)
+    # MST for connectivity
+    for a, b in mst_pairs(dist):
+        chosen.add((int(a), int(b)))
     tree_pairs = np.array(sorted(chosen), dtype=np.int32) if chosen else np.zeros((0, 2), np.int32)
 
     rng = np.random.default_rng(seed)

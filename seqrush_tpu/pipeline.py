@@ -190,7 +190,9 @@ class SeqRushTPU:
 
         spars = parse_sparsification(args.sparsification)
         kdist = None
-        if spars.kind == "tree" or args.iterative:
+        if spars.kind in ("tree", "auto", "connectivity") or args.iterative:
+            # sketch distances feed tree sampling AND the MST connectivity
+            # backbone of auto/connectivity schedules
             from .ops.kmer import kmer_distance_matrix
 
             kdist = kmer_distance_matrix(aligner.codes, spars.kmer_size or 16)
@@ -349,7 +351,7 @@ class SeqRushTPU:
                 if rec is None:
                     print(f"Warning: Invalid PAF line: {line.rstrip()}", file=sys.stderr)
                     continue
-                qname, q_start, _q_end, strand, tname, t_start, _t_end, cig = rec
+                qname, q_start, q_end, strand, tname, t_start, _t_end, cig = rec
                 qi = name_to_idx.get(qname)
                 ti = name_to_idx.get(tname)
                 if qi is None or ti is None:
@@ -360,6 +362,11 @@ class SeqRushTPU:
                     continue
                 items = cigar_mod.parse_cigar(cig)
                 qseq, tseq = self.seqs[qi], self.seqs[ti]
+                if strand == "-" and self.args.paf_convention == "standard":
+                    # minimap2-style '-' records give query coords on the
+                    # ORIGINAL strand; the CIGAR processor expects RC-space
+                    # starts (the reference's convention, seqrush.rs:594-601)
+                    q_start = len(qseq.data) - q_end
                 runs = cigar_mod.match_runs_from_cigar(
                     items,
                     qseq.data,

@@ -108,12 +108,16 @@ def test_complex_combination():
 
 
 def test_order_independence():
+    """Same GRAPH (full isomorphism, not just node count) regardless of
+    input order — the reference claim in src/lib.rs:396-424."""
+    from seqrush_tpu.tools.isomorphic import isomorphic
+
     base = generate_random_sequence(150, 7)
     variants = [("x", base), ("y", add_snp(base, 75)), ("z", add_deletion(base, 30, 5))]
     sr1, g1 = run_pipeline(variants)
     sr2, g2 = run_pipeline(list(reversed(variants)))
-    # same component structure: node count invariant under input order
-    assert g1.node_count() == g2.node_count()
+    ok, msg = isomorphic(g1, g2)
+    assert ok, f"graphs differ under input reversal: {msg}"
 
 
 def test_min_match_length_reduces_unions():

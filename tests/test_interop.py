@@ -208,3 +208,49 @@ def test_malformed_paf_warn_and_skip(tmp_path, capsys):
     assert sr2.validate_paths_match_sequences(g) == []
     err = capsys.readouterr().err
     assert "Warning" in err
+
+
+def test_paf_standard_strand_convention(tmp_path):
+    """Replaying a minimap2-style '-' record (query coords on the ORIGINAL
+    strand) requires --paf-strand-convention standard; the reference's own
+    RC-space convention (seqrush.rs:594-601) mis-maps such records
+    (VERDICT round-1 weak #8)."""
+    import numpy as np
+
+    from seqrush_tpu.config import Args
+    from seqrush_tpu.pipeline import SeqRushTPU
+    from seqrush_tpu.pos import encode_bases, reverse_complement_codes
+    from seqrush_tpu.sequences import make_sequence_set
+
+    q = rand_seq(100, 11)
+    sub = q[20:90]
+    t = bytes(
+        reverse_complement_codes(encode_bases(sub)).copy().tobytes()
+    ).translate(bytes.maketrans(bytes(range(4)) + b"N", b"ACGTN"))
+    seqs_named = [("q", q), ("t", t)]
+    # standard-convention '-' record: q_start/q_end on the original strand
+    paf = tmp_path / "std.paf"
+    paf.write_text(f"q\t100\t20\t90\t-\tt\t70\t0\t70\t70\t70\t255\tcg:Z:70=\n")
+
+    args = Args(paf=str(paf), output="/dev/null", paf_convention="standard")
+    sr = SeqRushTPU(make_sequence_set(seqs_named), args)
+    sr.align_and_unite()
+    # 70 cross-sequence unites: components drop from 170 to 100
+    assert sr.count_components() == 100
+
+    # the same record under the reference convention mis-maps: the CIGAR
+    # processor re-derives matches from actual base equality (reference
+    # process_alignment semantics), so only coincidental ~25% of positions
+    # unite — far from the true 70
+    args2 = Args(paf=str(paf), output="/dev/null", paf_convention="seqrush")
+    sr2 = SeqRushTPU(make_sequence_set(seqs_named), args2)
+    sr2.align_and_unite()
+    assert sr2.count_components() > 120  # garbage mapping, not the real 100
+
+    # and a seqrush-convention record (RC-space coords 10..80) maps
+    # correctly under the default convention
+    paf2 = tmp_path / "rc.paf"
+    paf2.write_text(f"q\t100\t10\t80\t-\tt\t70\t0\t70\t70\t70\t255\tcg:Z:70=\n")
+    sr3 = SeqRushTPU(make_sequence_set(seqs_named), Args(paf=str(paf2), output="/dev/null"))
+    sr3.align_and_unite()
+    assert sr3.count_components() == 100
