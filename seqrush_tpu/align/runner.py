@@ -401,7 +401,7 @@ class WfaAligner:
             # host decode of chunk k
             inflight = None
             for chunk in chunks:
-                dispatched = self._dispatch_nw_chunk(chunk, pen)
+                dispatched = self._dispatch_nw_chunk(chunk, pen, pairs)
                 if inflight is not None:
                     done, retries = self._collect_nw_chunk(*inflight, pairs)
                     attempts.update(done)
@@ -457,46 +457,68 @@ class WfaAligner:
         return out
 
     def _make_nw_chunks(self, queue, pairs):
-        """Bucket jobs by (dtype, band) — every job in a chunk runs at its
-        own certified band bucket, never a global chunk-max — then cut
-        chunks by the traceback memory budget and max_chunk_pairs.
-
-        Small buckets (< 8 jobs) coalesce upward into the next band bucket:
-        a singleton at W=1280 padded to the minimum batch costs more than
-        widening it to join the W=1536 group (wider bands are always
-        correct, just costlier)."""
-        groups: dict[tuple[bool, int], list] = {}
+        """Pack jobs into as FEW dispatches as possible (measured: the
+        sweep's per-step cost is flat in both B and W on TPU, and every
+        dispatch pays a fixed host-link round trip) — jobs sort by
+        (dtype, band, length) and chunks cut only at the traceback memory
+        budget / max_chunk_pairs, with every job in a chunk sharing the
+        chunk-max band (wider bands are always correct; the flat-in-W cost
+        model makes them free until the memory budget binds)."""
+        entries = []
         for p, rc, band, force32 in queue:
             qi, tj = pairs[p]
             q = self.rc_codes[qi] if rc else self.codes[qi]
             t = self.codes[tj]
-            groups.setdefault((force32, band), []).append((p, rc, force32, q, t))
-        # coalesce small band groups into the next-wider band (same dtype)
-        for f32 in (False, True):
-            bands = sorted(b for (f, b) in groups if f == f32)
-            for k, b in enumerate(bands[:-1]):
-                if len(groups[(f32, b)]) < 8:
-                    groups[(f32, bands[k + 1])].extend(groups.pop((f32, b)))
+            entries.append((force32, band, q.size + t.size, p, rc, q, t))
+        entries.sort(key=lambda e: (e[0], e[1], e[2]))
 
         chunks = []
-        for (force32, band), entries in sorted(groups.items(), key=lambda kv: kv[0]):
-            entries.sort(key=lambda e: e[3].size + e[4].size)
-            i = 0
+        i = 0
+        while i < len(entries):
+            chunk = []
+            band = 0
             while i < len(entries):
-                chunk = []
-                while i < len(entries):
-                    p, rc, f32, q, t = entries[i]
-                    trial_tmax = _round_up(q.size + t.size, 512)
-                    B_pad = self._quantize_batch(len(chunk) + 1)
-                    bytes_needed = B_pad * (trial_tmax + 2) * (band + 1)
-                    if chunk and bytes_needed > self.cfg.memory_budget_bytes:
-                        break
-                    if self.cfg.max_chunk_pairs and len(chunk) >= self.cfg.max_chunk_pairs:
-                        break
-                    chunk.append((p, rc, band, f32, q, t))
-                    i += 1
-                chunks.append(chunk)
+                f32, bandj, _ln, p, rc, q, t = entries[i]
+                if chunk and f32 != chunk[0][3]:
+                    break  # dtype is a static kernel arg: no mixing
+                trial_band = max(band, bandj)
+                trial_tmax = _round_up(q.size + t.size, 512)
+                B_pad = self._quantize_batch(len(chunk) + 1)
+                bytes_needed = B_pad * (trial_tmax + 2) * (trial_band + 1)
+                if chunk and bytes_needed > self.cfg.memory_budget_bytes:
+                    break
+                if self.cfg.max_chunk_pairs and len(chunk) >= self.cfg.max_chunk_pairs:
+                    break
+                chunk.append((p, rc, trial_band, f32, q, t))
+                band = trial_band
+                i += 1
+            # every job in the chunk runs at the chunk band
+            chunk = [(p, rc, band, f32, q, t) for (p, rc, _b, f32, q, t) in chunk]
+            chunks.append(chunk)
         return chunks
+
+    # -- device-resident sequences -------------------------------------------
+
+    def _ensure_resident(self):
+        """Upload the sequence set once: queries (fwd + RC rows, QPAD) and
+        targets (fwd rows, TPAD).  Per-dispatch host->device traffic then
+        shrinks to row indices + lengths (the tunnel's h2d link is slow:
+        ~30 ms for a 96x3584 byte batch), and repeated align_pairs calls on
+        one aligner re-upload nothing."""
+        if getattr(self, "_resident", None) is not None:
+            return self._resident
+        import jax
+
+        n = len(self.codes)
+        lmax = _round_up(max(c.size for c in self.codes), 256)
+        Rq = np.full((2 * n, lmax), wfa.QPAD, np.uint8)
+        Rt = np.full((n, lmax), wfa.TPAD, np.uint8)
+        for k, c in enumerate(self.codes):
+            Rq[k, : c.size] = c
+            Rq[n + k, : self.rc_codes[k].size] = self.rc_codes[k]
+            Rt[k, : c.size] = c
+        self._resident = (jax.device_put(Rq), jax.device_put(Rt), n, lmax)
+        return self._resident
 
     def _use_pallas(self) -> bool:
         if self._pallas_ok is not None:
@@ -534,24 +556,13 @@ class WfaAligner:
         except Exception:
             return False
 
-    def _dispatch_nw_chunk(self, chunk, pen):
+    def _dispatch_nw_chunk(self, chunk, pen, pairs):
         from ..ops import nw
 
         band = chunk[0][2]
         force32 = chunk[0][3]
         tmax = _round_up(max(q.size + t.size for *_, q, t in chunk), 512)
         B = self._quantize_batch(len(chunk))
-        lq = _round_up(max(q.size for *_, q, _t in chunk), 256)
-        lt = _round_up(max(t.size for *_, t in chunk), 256)
-        Q = np.full((B, lq), wfa.QPAD, dtype=np.uint8)
-        T = np.full((B, lt), wfa.TPAD, dtype=np.uint8)
-        qlens = np.zeros(B, np.int32)
-        tlens = np.zeros(B, np.int32)
-        for b, (*_, q, t) in enumerate(chunk):
-            Q[b, : q.size] = q
-            T[b, : t.size] = t
-            qlens[b] = q.size
-            tlens[b] = t.size
         use_int16 = self.cfg.dp_dtype in ("int16", "auto") and not force32
         kw = dict(
             mismatch=pen.mismatch,
@@ -563,6 +574,47 @@ class WfaAligner:
             tmax=tmax,
         )
         self.stats["cells_padded"] += B * (tmax + 2) * (band + 1)
+
+        needs_host_arrays = (
+            self.cfg.mesh is not None
+            or kw["tmax"] > self.cfg.long_pair_threshold
+            or not self.cfg.device_traceback
+            or self._use_pallas()
+        )
+        if not needs_host_arrays:
+            # hot path: gather query/target rows from the device-resident
+            # sequence arrays — per-dispatch h2d is just indices + lengths
+            import jax.numpy as jnp
+
+            Rq, Rt, n, lmax = self._ensure_resident()
+            q_idx = np.zeros(B, np.int32)
+            t_idx = np.zeros(B, np.int32)
+            qlens = np.zeros(B, np.int32)
+            tlens = np.zeros(B, np.int32)
+            for b, (p, rc, *_rest, q, t) in enumerate(chunk):
+                qi, tj = pairs[p]
+                q_idx[b] = int(qi) + (n if rc else 0)
+                t_idx[b] = int(tj)
+                qlens[b] = q.size
+                tlens[b] = t.size
+            Q = jnp.take(Rq, q_idx, axis=0)
+            T = jnp.take(Rt, t_idx, axis=0)
+            scores, opcodes = nw.nw_align_with_opcodes(
+                Q, T, qlens, tlens, use_int16=use_int16, **kw
+            )
+            return chunk, scores, ("ops", opcodes), qlens, tlens, band, use_int16
+
+        lq = _round_up(max(q.size for *_, q, _t in chunk), 256)
+        lt = _round_up(max(t.size for *_, t in chunk), 256)
+        Q = np.full((B, lq), wfa.QPAD, dtype=np.uint8)
+        T = np.full((B, lt), wfa.TPAD, dtype=np.uint8)
+        qlens = np.zeros(B, np.int32)
+        tlens = np.zeros(B, np.int32)
+        for b, (*_, q, t) in enumerate(chunk):
+            Q[b, : q.size] = q
+            T[b, : t.size] = t
+            qlens[b] = q.size
+            tlens[b] = t.size
         if self.cfg.mesh is not None:
             # shard the batch dim over the mesh; the kernel is elementwise
             # over pairs so XLA partitions it with zero communication

@@ -245,6 +245,204 @@ def _sweep_tbw(
     return scores, tb, T_total
 
 
+def _sweep_v3(
+    Q, T, qlens, tlens, *,
+    mismatch, o1, e1, o2, e2, band, tmax, with_traceback, dtype=jnp.int32,
+    unroll=2,
+):
+    """Forward banded sweep, v3: minimal fusion-breaking ops per row.
+
+    Same DP and traceback-byte semantics as _sweep_tbw (the behavioral
+    specification), restructured for the measured TPU cost model (the scan
+    body is latency-bound on op dispatch, flat in B and W):
+
+    * the six DP rows live in ONE stacked [6, B, W] carry, so each row's
+      dependency framing is a single shifted copy of the whole stack
+      (one concatenate) instead of 3-4 per-array shifts;
+    * int32 mode drops the per-row validity clamp entirely: invalid cells
+      (i > qlen, j > tlen, or j < 0) start at NEG=2^28 and only ever gain
+      small penalty increments (<= ~33/row, bounded by tmax << 2^31), and
+      the DP flow is monotone in (i, j) so they can never reach the final
+      cell (i = qlen, j = tlen) — the clamp existed only to stop int16
+      overflow, so int16 mode keeps it;
+    * score capture is one predicated copy per row into a carried FIN row
+      ([B, W]); the per-pair final lane is extracted once after the loop;
+    * phase A's query window is static (i0 = 0) and hoisted out of the loop.
+    """
+    B, Lq = Q.shape
+    Lt = T.shape[1]
+    K = band
+    W = K + 1
+    two = o2 >= 0
+    NEG = _dtype_inf(dtype)
+    clamp = dtype == jnp.int16
+
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+
+    Qp = jnp.pad(Q, ((0, 0), (1, W)), constant_values=QPAD)
+    Trev = jnp.pad(T[:, ::-1], ((0, 0), (W, W)), constant_values=TPAD)
+
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
+    fin_t = qlens + tlens  # [B]
+
+    # stacked DP state: rows [H1, H2, I1, D1, I2, D2]
+    H0 = jnp.full((B, W), NEG, dtype).at[:, 0].set(0)
+    S = jnp.stack([
+        H0,
+        jnp.full((B, W), NEG, dtype),
+        jnp.full((B, W), NEG, dtype),
+        jnp.full((B, W), NEG, dtype),
+        jnp.full((B, W), NEG, dtype),
+        jnp.full((B, W), NEG, dtype),
+    ])
+    FIN = jnp.where((fin_t == 0)[:, None], H0, jnp.full((B, W), NEG, dtype))
+
+    inf_col6 = jnp.full((6, B, 1), NEG, dtype)
+
+    def sr6(S):
+        return jnp.concatenate([inf_col6, S[:, :, :-1]], axis=2)
+
+    def sl6(S):
+        return jnp.concatenate([S[:, :, 1:], inf_col6], axis=2)
+
+    def compute_row(t, i0, deps, sub, valid_fn):
+        h_up, h_left, h_diag, i1_up, d1_left, i2_up, d2_left = deps
+        I1n = jnp.minimum(h_up + (o1 + e1), i1_up + e1)
+        i1_opened = (h_up + (o1 + e1)) <= (i1_up + e1)
+        D1n = jnp.minimum(h_left + (o1 + e1), d1_left + e1)
+        d1_opened = (h_left + (o1 + e1)) <= (d1_left + e1)
+        if two:
+            I2n = jnp.minimum(h_up + (o2 + e2), i2_up + e2)
+            i2_opened = (h_up + (o2 + e2)) <= (i2_up + e2)
+            D2n = jnp.minimum(h_left + (o2 + e2), d2_left + e2)
+            d2_opened = (h_left + (o2 + e2)) <= (d2_left + e2)
+        else:
+            I2n = jnp.full((B, W), NEG, dtype)
+            D2n = jnp.full((B, W), NEG, dtype)
+            i2_opened = jnp.zeros((B, W), bool)
+            d2_opened = jnp.zeros((B, W), bool)
+
+        Hn = h_diag + sub
+        choice = jnp.full((B, W), H_DIAG, jnp.uint8)
+        for cand, tag in ((D1n, H_D1), (I1n, H_I1), (D2n, H_D2), (I2n, H_I2)):
+            better = cand < Hn
+            Hn = jnp.where(better, cand, Hn)
+            choice = jnp.where(better, jnp.uint8(tag), choice)
+
+        if clamp:
+            valid = valid_fn()
+            Hn = jnp.where(valid, jnp.minimum(Hn, NEG), NEG)
+            I1n = jnp.where(valid, jnp.minimum(I1n, NEG), NEG)
+            D1n = jnp.where(valid, jnp.minimum(D1n, NEG), NEG)
+            I2n = jnp.where(valid, jnp.minimum(I2n, NEG), NEG)
+            D2n = jnp.where(valid, jnp.minimum(D2n, NEG), NEG)
+
+        packed = (
+            choice
+            | (i1_opened.astype(jnp.uint8) << 3)
+            | (i2_opened.astype(jnp.uint8) << 4)
+            | (d1_opened.astype(jnp.uint8) << 5)
+            | (d2_opened.astype(jnp.uint8) << 6)
+        )
+        return Hn, I1n, D1n, I2n, D2n, packed
+
+    def twin_at(t, i0):
+        return jax.lax.dynamic_slice_in_dim(
+            Trev, jnp.clip(Lt - t + i0 + W, 0, Trev.shape[1] - W), W, axis=1
+        )
+
+    # ---- phase A: t in [1, TA], i0 = 0 -----------------------------------
+    TA = min(K, tmax)
+    qwin_a = Qp[:, :W]  # static: i0 = 0 throughout phase A
+
+    def body_a(carry, t):
+        S, FIN = carry
+        R = sr6(S)
+        deps = (R[0], S[0], R[1], R[2], S[3], R[4], S[5])
+        sub = jnp.where(qwin_a == twin_at(t, 0), 0, mismatch).astype(dtype)
+
+        def valid_fn():
+            i = lanes
+            j = t - i
+            return (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
+
+        Hn, I1n, D1n, I2n, D2n, packed = compute_row(t, 0, deps, sub, valid_fn)
+        FIN = jnp.where((t == fin_t)[:, None], Hn, FIN)
+        Sn = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        return (Sn, FIN), packed if with_traceback else jnp.zeros((B, 0), jnp.uint8)
+
+    carry = (S, FIN)
+    ts_a = jnp.arange(1, TA + 1, dtype=jnp.int32)
+    carry, tb_a = jax.lax.scan(body_a, carry, ts_a, unroll=unroll)
+
+    # ---- phase B: macro-steps of (dp=1, dp=0) rows ------------------------
+    M = max(0, -(-(tmax - TA) // 2))
+    T_total = TA + 2 * M
+
+    def body_b(carry, m):
+        S, FIN = carry
+        t1 = TA + 1 + 2 * m
+        i0 = (t1 - K + 1) // 2
+        qwin = jax.lax.dynamic_slice_in_dim(
+            Qp, jnp.clip(i0, 0, Qp.shape[1] - W), W, axis=1
+        )
+        # row 1: dp = 1, dpp = 1 — up/diag identity, left shift_left
+        L = sl6(S)
+        deps = (S[0], L[0], S[1], S[2], L[3], S[4], L[5])
+        sub = jnp.where(qwin == twin_at(t1, i0), 0, mismatch).astype(dtype)
+
+        def valid1():
+            i = i0 + lanes
+            j = t1 - i
+            return (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
+
+        Hn, I1n, D1n, I2n, D2n, p1 = compute_row(t1, i0, deps, sub, valid1)
+        FIN = jnp.where((t1 == fin_t)[:, None], Hn, FIN)
+        S = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        # row 2: t2 = t1 + 1, dp = 0, dpp = 1 — up shift_right, left/diag id
+        t2 = t1 + 1
+        R = sr6(S)
+        deps = (R[0], S[0], S[1], R[2], S[3], R[4], S[5])
+        sub = jnp.where(qwin == twin_at(t2, i0), 0, mismatch).astype(dtype)
+
+        def valid2():
+            i = i0 + lanes
+            j = t2 - i
+            return (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
+
+        Hn, I1n, D1n, I2n, D2n, p2 = compute_row(t2, i0, deps, sub, valid2)
+        FIN = jnp.where((t2 == fin_t)[:, None], Hn, FIN)
+        Sn = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        ys = (
+            jnp.stack([p1, p2]) if with_traceback else jnp.zeros((2, B, 0), jnp.uint8)
+        )
+        return (Sn, FIN), ys
+
+    if M > 0:
+        ms = jnp.arange(M, dtype=jnp.int32)
+        carry, tb_b = jax.lax.scan(body_b, carry, ms, unroll=max(unroll // 2, 1))
+    S, FIN = carry
+
+    # extract per-pair final-lane score (one masked reduce, outside the loop)
+    i0_fin = jnp.maximum((fin_t - K + 1) // 2, 0)
+    fin_lane = qlens - i0_fin
+    fin_val = jnp.min(
+        jnp.where(lanes == fin_lane[:, None], FIN.astype(jnp.int32), INF), axis=1
+    )
+    finished = (fin_t <= T_total) & (fin_val < INF)
+    scores = jnp.where(finished, fin_val, -1)
+
+    if not with_traceback:
+        return scores, None, T_total
+
+    parts = [jnp.zeros((1, B, W), jnp.uint8), tb_a]
+    if M > 0:
+        parts.append(tb_b.reshape(2 * M, B, W))
+    tb = jnp.concatenate(parts, axis=0)  # [T_total + 1, B, W]
+    return scores, tb, T_total
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mismatch", "o1", "e1", "o2", "e2", "band", "tmax", "with_traceback"),
@@ -825,12 +1023,12 @@ def _tb_scan_tbw(tb, qlens, tlens, *, band: int, t_total: int, unroll: int = 4):
     jax.jit,
     static_argnames=(
         "mismatch", "o1", "e1", "o2", "e2", "band", "tmax", "use_int16",
-        "unroll", "tb_unroll",
+        "unroll", "tb_unroll", "impl",
     ),
 )
 def nw_align_with_opcodes(
     Q, T, qlens, tlens, *, mismatch, o1, e1, o2, e2, band, tmax,
-    use_int16=False, unroll=4, tb_unroll=4,
+    use_int16=False, unroll=4, tb_unroll=4, impl="v3",
 ):
     """Fused sweep + device traceback: one dispatch, opcodes-only output.
 
@@ -839,9 +1037,12 @@ def nw_align_with_opcodes(
     layout throughout) — nothing but scores [B] and opcodes [B, T+1] is
     materialized for the host.  With use_int16 the DP runs in saturating
     int16 (scores >= INT16_CUTOFF are unreliable; callers re-run those
-    pairs in int32).
+    pairs in int32).  impl selects the forward sweep: 'v3' (stacked-carry,
+    default) or 'v1' (the behavioral specification, kept for parity tests
+    and profiling).
     """
-    scores, tb, t_total = _sweep_tbw(
+    sweep = _sweep_v3 if impl == "v3" else _sweep_tbw
+    scores, tb, t_total = sweep(
         Q, T, qlens, tlens,
         mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2,
         band=band, tmax=tmax, with_traceback=True,

@@ -271,3 +271,70 @@ def test_runner_routes_long_pairs_through_segments():
         assert qc == len(q) and tc == len(t)
         for n, op in r.cigar:
             assert op in "=XID"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_v3_matches_v1(seed):
+    """The stacked-carry v3 sweep is bit-identical to the v1 specification:
+    same scores and same opcode streams across random SNP/indel pairs,
+    including unequal lengths, dummies, and both DP dtypes."""
+    rng = np.random.default_rng(100 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    B = 6
+    qs, ts = [], []
+    for b in range(B):
+        n = int(rng.integers(1, 300))
+        q = bases[rng.integers(0, 4, n)]
+        t = bytearray(q.tobytes())
+        for pos in rng.integers(0, max(n, 1), size=max(n // 12, 1)):
+            t[pos % len(t)] = bases[rng.integers(0, 4)]
+        for _ in range(int(rng.integers(0, 3))):
+            pos = int(rng.integers(0, max(len(t) - 5, 1)))
+            ln = int(rng.integers(1, 12))
+            if rng.random() < 0.5 and len(t) > ln + 2:
+                del t[pos : pos + ln]
+            else:
+                t[pos:pos] = bases[rng.integers(0, 4, ln)].tobytes()
+        qs.append(q)
+        ts.append(np.frombuffer(bytes(t), np.uint8))
+    qs.append(np.zeros(0, np.uint8))  # dummy pair
+    ts.append(np.zeros(0, np.uint8))
+    lq = max(max(q.size for q in qs), 1)
+    lt = max(max(t.size for t in ts), 1)
+    Q = np.stack([np.concatenate([encode_bases(q.tobytes()), np.full(lq - q.size, nw.QPAD, np.uint8)]) for q in qs])
+    T = np.stack([np.concatenate([encode_bases(t.tobytes()), np.full(lt - t.size, nw.TPAD, np.uint8)]) for t in ts])
+    qlens = np.array([q.size for q in qs], np.int32)
+    tlens = np.array([t.size for t in ts], np.int32)
+    tmax = int((qlens + tlens).max())
+    kw = dict(mismatch=PEN.mismatch, o1=PEN.gap1_open, e1=PEN.gap1_extend,
+              o2=PEN.gap2_open, e2=PEN.gap2_extend, band=64, tmax=tmax)
+    for use_int16 in (False, True):
+        s1, o1_ = nw.nw_align_with_opcodes(
+            Q, T, qlens, tlens, use_int16=use_int16, impl="v1", **kw)
+        s3, o3_ = nw.nw_align_with_opcodes(
+            Q, T, qlens, tlens, use_int16=use_int16, impl="v3", **kw)
+        # v1 never captures the t=0 cell, reporting -1 for zero-length
+        # dummies; v3 correctly reports 0 there (the one intended divergence)
+        s1 = np.where(qlens + tlens == 0, 0, np.asarray(s1))
+        np.testing.assert_array_equal(s1, np.asarray(s3))
+        np.testing.assert_array_equal(np.asarray(o1_), np.asarray(o3_))
+
+
+def test_v3_single_piece_and_tiny_band():
+    """v3 parity in single-piece mode and with band wider than sequences."""
+    pairs = [(b"ACGTACGT", b"ACGTTACGT"), (b"A", b"G"), (b"ACACAC", b"ACACAC")]
+    qs = [encode_bases(q) for q, _ in pairs]
+    ts = [encode_bases(t) for _, t in pairs]
+    lq = max(q.size for q in qs)
+    lt = max(t.size for t in ts)
+    Q = np.stack([np.concatenate([q, np.full(lq - q.size, nw.QPAD, np.uint8)]) for q in qs])
+    T = np.stack([np.concatenate([t, np.full(lt - t.size, nw.TPAD, np.uint8)]) for t in ts])
+    qlens = np.array([q.size for q in qs], np.int32)
+    tlens = np.array([t.size for t in ts], np.int32)
+    tmax = int((qlens + tlens).max())
+    for band in (2, 15, 64):
+        kw = dict(mismatch=1, o1=1, e1=1, o2=-1, e2=-1, band=band, tmax=tmax)
+        s1, o1_ = nw.nw_align_with_opcodes(Q, T, qlens, tlens, impl="v1", **kw)
+        s3, o3_ = nw.nw_align_with_opcodes(Q, T, qlens, tlens, impl="v3", **kw)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
+        np.testing.assert_array_equal(np.asarray(o1_), np.asarray(o3_))
