@@ -684,6 +684,9 @@ class WfaAligner:
         mode, data = payload
         if mode != "items":
             data = np.asarray(data)
+        if mode == "ops":
+            # 2-bit-packed opcode rows: unpack the whole batch vectorized
+            data = nw.unpack_opcodes(data, data.shape[1] * 4)
 
         done: dict[tuple[int, bool], AlignmentResult | None] = {}
         retries: list[tuple[tuple[int, bool, int, bool], int]] = []

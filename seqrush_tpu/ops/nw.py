@@ -608,7 +608,8 @@ OP_NONE, OP_M, OP_I, OP_D = 0, 1, 2, 3
 
 @functools.partial(jax.jit, static_argnames=("band", "tmax"))
 def traceback_scan_device(tb, qlens, tlens, *, band: int, tmax: int):
-    """Walk every pair's optimal path on device; returns opcodes [B, tmax+1].
+    """Walk every pair's optimal path on device; returns 2-bit-packed
+    opcodes [B, ceil((tmax+1)/4)] (see pack_opcodes / unpack_opcodes).
 
     The host walk (traceback_pair) reads one packed byte per step, which
     forces the whole [B, tmax, W] byte tensor across the host link.  The walk
@@ -689,7 +690,34 @@ def traceback_scan_device(tb, qlens, tlens, *, band: int, tmax: int):
     ops = jnp.concatenate(
         [jnp.zeros((1, B), jnp.uint8), ops_rev[::-1]], axis=0
     ).T
-    return ops
+    return pack_opcodes(ops)
+
+
+def pack_opcodes(ops):
+    """2-bit-pack a [B, L] opcode tensor (values 0..3) to [B, ceil(L/4)].
+
+    Opcode streams are the largest per-dispatch device->host transfer; the
+    host link through the axon tunnel moves ~15 MB/s (measured,
+    docs/PROFILE_TPU_V3.json d2h_opcodes), so shrinking the fetch 4x takes
+    ~32 ms off every chunk.  One reshape + dot on device, outside the scan.
+    """
+    B, L = ops.shape
+    pad = (-L) % 4
+    if pad:
+        ops = jnp.pad(ops, ((0, 0), (0, pad)))
+    g = ops.reshape(B, -1, 4).astype(jnp.int32)
+    packed = g[:, :, 0] | (g[:, :, 1] << 2) | (g[:, :, 2] << 4) | (g[:, :, 3] << 6)
+    return packed.astype(jnp.uint8)
+
+
+def unpack_opcodes(packed: np.ndarray, length: int) -> np.ndarray:
+    """Host inverse of pack_opcodes: [B, ceil(L/4)] -> [B, length] uint8."""
+    packed = np.asarray(packed)
+    B = packed.shape[0]
+    out = np.empty((B, packed.shape[1], 4), np.uint8)
+    for k in range(4):
+        out[:, :, k] = (packed >> (2 * k)) & 3
+    return out.reshape(B, -1)[:, :length]
 
 
 def decode_opcodes(op_row: np.ndarray) -> list[tuple[int, str]]:
@@ -1034,8 +1062,8 @@ def nw_align_with_opcodes(
 
     The packed traceback tensor lives only inside the program (HBM scratch
     between the forward sweep and the reverse opcode scan, in [t, B, W]
-    layout throughout) — nothing but scores [B] and opcodes [B, T+1] is
-    materialized for the host.  With use_int16 the DP runs in saturating
+    layout throughout) — nothing but scores [B] and 2-bit-packed opcodes
+    [B, ceil((T+1)/4)] is materialized for the host.  With use_int16 the DP runs in saturating
     int16 (scores >= INT16_CUTOFF are unreliable; callers re-run those
     pairs in int32).  impl selects the forward sweep: 'v3' (stacked-carry,
     default) or 'v1' (the behavioral specification, kept for parity tests
@@ -1050,4 +1078,4 @@ def nw_align_with_opcodes(
         unroll=unroll,
     )
     ops = _tb_scan_tbw(tb, qlens, tlens, band=band, t_total=t_total, unroll=tb_unroll)
-    return scores, ops
+    return scores, pack_opcodes(ops)

@@ -192,7 +192,7 @@ def test_device_traceback_matches_host(seed):
     tb_dev = nw.traceback_scan_device(
         np.asarray(tb), ql, tl, band=32, tmax=tb.shape[1] - 1
     )
-    tb_dev = np.asarray(tb_dev)
+    tb_dev = nw.unpack_opcodes(tb_dev, np.asarray(tb_dev).shape[1] * 4)
     for b, (q, t) in enumerate(pairs):
         host = nw.traceback_pair(tb[b], int(ql[b]), int(tl[b]), 32)
         dev = nw.decode_opcodes(tb_dev[b])
