@@ -154,6 +154,35 @@ def main():
         file=sys.stderr,
     )
 
+    # saturation workload: 25 sequences, 600 ordered pairs — the 72-pair
+    # headline is latency-bound (one ~half-full dispatch + tunnel RTT);
+    # this measures throughput with the batch dimension actually filled,
+    # which is what an HLA-zoo-scale run (28 genes, ~1.3k pairs) sees.
+    sat_value = 0.0
+    try:
+        seqs_sat = make_sequence_set(synth_hla(n_seqs=25))
+        pairs_sat = all_ordered_pairs(25)
+        al_sat = WfaAligner(seqs_sat, cfg)
+        al_sat.align_pairs(pairs_sat)  # warm compile + resident upload
+        sat_best = None
+        for _ in range(2):
+            for attr in ("_mh_fwd", "_mh_rc"):
+                if hasattr(al_sat, attr):
+                    delattr(al_sat, attr)
+            t0 = time.time()
+            res_sat = al_sat.align_pairs(pairs_sat)
+            dts = time.time() - t0
+            if sat_best is None or dts < sat_best:
+                sat_best = dts
+        sat_value = len(res_sat) / sat_best
+        print(
+            f"[bench] saturation: {len(res_sat)}/{len(pairs_sat)} pairs in "
+            f"{sat_best:.3f}s = {sat_value:.0f} alignments/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] saturation run failed: {e}", file=sys.stderr)
+
     # end-to-end FASTA->GFA wall-clock (BASELINE.md's e2e row; stderr only —
     # the JSON metric stays the alignment-throughput north star)
     try:
@@ -184,6 +213,7 @@ def main():
                 "value": round(value, 2),
                 "unit": "alignments/s",
                 "vs_baseline": round(value / BASELINE_ALIGNMENTS_PER_S, 3),
+                "saturation_600pair_alignments_per_s": round(sat_value, 2),
             }
         )
     )

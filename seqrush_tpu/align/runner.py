@@ -94,8 +94,15 @@ class RunnerConfig:
     device_traceback: bool = True
     # DP state dtype for the Gotoh sweep: 'int32' (always exact), 'int16'
     # (saturating; scores >= nw.INT16_CUTOFF auto-retry in int32 — halves
-    # vector register pressure on TPU)
+    # vector register pressure on TPU).  Measured on v5e: int32 is FASTER
+    # in the latency-bound regime (int16's saturation clamps add ops to the
+    # serial chain, docs/PROFILE_TPU_V3.json)
     dp_dtype: str = "int32"
+    # forward sweep: 'rows' = row-major v4 (half the serial steps; default),
+    # 'antidiag' = anti-diagonal v3.  Pairs whose compacted gap list
+    # overflows nw.GAP_MAX (pathological divergence) fall back to the
+    # anti-diagonal kernel automatically.
+    sweep: str = "rows"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -140,8 +147,12 @@ class WfaAligner:
             "int16_retries": 0,
             "cells_padded": 0,  # B_padded * rows * W summed over dispatches
             "cells_true": 0,  # (qlen+tlen+1) * W summed over aligned jobs
+            "gap_overflows": 0,  # row-major walks overflowing nw.GAP_MAX
         }
         self._pallas_ok: bool | None = None
+        # (pair_idx, rc) jobs forced onto the anti-diagonal kernel (their
+        # row-major gap list overflowed nw.GAP_MAX)
+        self._v3_set: set[tuple[int, bool]] = set()
 
     # -- orientation ---------------------------------------------------------
 
@@ -469,8 +480,9 @@ class WfaAligner:
             qi, tj = pairs[p]
             q = self.rc_codes[qi] if rc else self.codes[qi]
             t = self.codes[tj]
-            entries.append((force32, band, q.size + t.size, p, rc, q, t))
-        entries.sort(key=lambda e: (e[0], e[1], e[2]))
+            v3 = (p, rc) in self._v3_set
+            entries.append((force32, v3, band, q.size + t.size, p, rc, q, t))
+        entries.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
 
         chunks = []
         i = 0
@@ -478,9 +490,12 @@ class WfaAligner:
             chunk = []
             band = 0
             while i < len(entries):
-                f32, bandj, _ln, p, rc, q, t = entries[i]
-                if chunk and f32 != chunk[0][3]:
-                    break  # dtype is a static kernel arg: no mixing
+                f32, v3, bandj, _ln, p, rc, q, t = entries[i]
+                if chunk and (
+                    f32 != chunk[0][3]
+                    or v3 != ((chunk[0][0], chunk[0][1]) in self._v3_set)
+                ):
+                    break  # dtype / kernel impl are static args: no mixing
                 trial_band = max(band, bandj)
                 trial_tmax = _round_up(q.size + t.size, 512)
                 B_pad = self._quantize_batch(len(chunk) + 1)
@@ -519,6 +534,14 @@ class WfaAligner:
             Rt[k, : c.size] = c
         self._resident = (jax.device_put(Rq), jax.device_put(Rt), n, lmax)
         return self._resident
+
+    def _use_rows(self, chunk) -> bool:
+        """Row-major v4 kernel for this chunk?  Chunks are homogeneous in
+        forced-v3 membership (_make_nw_chunks segregates them)."""
+        if self.cfg.sweep != "rows":
+            return False
+        p, rc = chunk[0][0], chunk[0][1]
+        return (p, rc) not in self._v3_set
 
     def _use_pallas(self) -> bool:
         if self._pallas_ok is not None:
@@ -599,6 +622,15 @@ class WfaAligner:
                 tlens[b] = t.size
             Q = jnp.take(Rq, q_idx, axis=0)
             T = jnp.take(Rt, t_idx, axis=0)
+            if self._use_rows(chunk):
+                kwr = {k: v for k, v in kw.items() if k != "tmax"}
+                out = nw.nw_align_rows(
+                    Q, T, qlens, tlens, use_int16=use_int16, **kwr
+                )
+                return (
+                    chunk, out[0], ("rowtok", out[1:]),
+                    qlens, tlens, band, use_int16,
+                )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16, **kw
             )
@@ -630,6 +662,15 @@ class WfaAligner:
                 tlens = np.concatenate([tlens, np.zeros(pad, np.int32)])
             sh = NamedSharding(self.cfg.mesh, P("data"))
             Q, T, qlens, tlens = (jax.device_put(a, sh) for a in (Q, T, qlens, tlens))
+            if self._use_rows(chunk):
+                kwr = {k: v for k, v in kw.items() if k != "tmax"}
+                out = nw.nw_align_rows(
+                    Q, T, qlens, tlens, use_int16=use_int16, **kwr
+                )
+                return (
+                    chunk, out[0], ("rowtok", out[1:]),
+                    np.asarray(qlens), np.asarray(tlens), band, use_int16,
+                )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16, **kw
             )
@@ -662,6 +703,15 @@ class WfaAligner:
             return chunk, scores, ("items", items_list), qlens, tlens, band, False
         if self.cfg.device_traceback:
             # fused sweep + walk: single dispatch, opcodes-only transfer
+            if self._use_rows(chunk):
+                kwr = {k: v for k, v in kw.items() if k != "tmax"}
+                out = nw.nw_align_rows(
+                    Q, T, qlens, tlens, use_int16=use_int16, **kwr
+                )
+                return (
+                    chunk, out[0], ("rowtok", out[1:]),
+                    qlens, tlens, band, use_int16,
+                )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16, **kw
             )
@@ -682,7 +732,11 @@ class WfaAligner:
 
         scores = np.asarray(scores)
         mode, data = payload
-        if mode != "items":
+        if mode == "rowtok":
+            steps_p, grows, gvals, gcount = (np.asarray(a) for a in data)
+            steps = nw.unpack_opcodes(steps_p, steps_p.shape[1] * 4)
+            data = (steps, grows, gvals, gcount)
+        elif mode != "items":
             data = np.asarray(data)
         if mode == "ops":
             # 2-bit-packed opcode rows: unpack the whole batch vectorized
@@ -713,6 +767,13 @@ class WfaAligner:
             if score < 0 or score > self._pair_cap(qlen, tlen):
                 done[(p, rc)] = None  # certified-exact score exceeds the cap
                 continue
+            if mode == "rowtok" and int(data[3][b]) > nw.GAP_MAX:
+                # compacted gap list overflowed: retry on the anti-diagonal
+                # kernel (same band — the score is already certified)
+                self.stats["gap_overflows"] += 1
+                self._v3_set.add((p, rc))
+                retries.append(((p, rc, bandj, force32), score))
+                continue
             self.stats["cells_true"] += (qlen + tlen + 1) * (bandj + 1)
             decode_jobs.append((b, p, rc, q, t, score))
 
@@ -721,6 +782,11 @@ class WfaAligner:
             qi, tj = pairs[p]
             if mode == "items":
                 items = data[b]
+            elif mode == "rowtok":
+                steps, grows, gvals, gcount = data
+                items = nw.decode_rowtokens(
+                    steps[b], grows[b], gvals[b], int(gcount[b]), int(qlens[b])
+                )
             elif mode == "ops":
                 items = nw.decode_opcodes(data[b])
             else:

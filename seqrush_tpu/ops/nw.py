@@ -1079,3 +1079,354 @@ def nw_align_with_opcodes(
     )
     ops = _tb_scan_tbw(tb, qlens, tlens, band=band, t_total=t_total, unroll=tb_unroll)
     return scores, pack_opcodes(ops)
+
+
+# -----------------------------------------------------------------------------
+# Row-major sweep (v4): half the serial steps of the anti-diagonal kernels
+# -----------------------------------------------------------------------------
+# The anti-diagonal sweeps take qlen+tlen serial steps (forward) plus
+# qlen+tlen walk steps, and the measured per-step cost on TPU is dominated by
+# fixed XLA op-sequencing overhead — flat in both B and W
+# (docs/PROFILE_TPU_V3.json).  Sweeping by QUERY ROWS instead halves both
+# trip counts (qlen steps), at the price of a 2x wider window (row i covers
+# j in [i-K, i+K], Wr = 2K+1 lanes — same |i-j| <= K diagonal coverage as
+# the anti-diagonal kernels, so the runner's score-based exactness
+# certificate carries over unchanged).
+#
+# Within-row D dependencies (a serial chain in j) are solved in closed form:
+# with non-negative gap opens, re-opening a gap inside a contiguous run never
+# beats extending it, so
+#     D1[i,j] = o1 + min_{k<j} (Htilde[i,k] + (j-k)*e1)
+# where Htilde = H without the D terms (diag/I only).  That min is one
+# exclusive cummin over lanes of A[k] = Htilde[k] - k*e1.  H values are
+# exact (any path through a cross-component reopen is dominated, see the
+# D2->D1 analysis in docs/ROUND2_NOTES.md); co-optimal CIGARs may differ
+# from the anti-diagonal kernels in tie cases, which the pipeline permits
+# (the reference's own CIGARs are WFA2-backtrace-order dependent; we only
+# require determinism *within* a kernel, which a fixed tie order gives).
+#
+# Traceback byte layout (differs from the anti-diagonal kernels):
+#   bits 0-1: Htilde choice (0 = diag, 1 = I1, 2 = I2)
+#   bits 2-3: H override   (0 = none, 1 = D1, 2 = D2)
+#   bit 4: I1 opened   bit 5: I2 opened   bit 6: D1 opened   bit 7: D2 opened
+#
+# The row-major walk consumes exactly one row per iteration: vertical ops
+# (M / I) advance one row, and an entire horizontal D-run resolves in one
+# masked reduce over the open-bit lanes of the current row.  Its output is a
+# dense 2-bit step stream (one M/I per row) plus a compacted sparse gap list
+# (row, run-length) — a ~6x smaller device->host transfer than per-op
+# opcode streams.
+
+GAP_MAX = 160  # max D-runs per pair in the compacted gap list; pairs with
+# more (divergence far beyond any accepted alignment) retry on the
+# anti-diagonal kernel via the runner's queue.
+
+
+def _sweep_rows(
+    Q, T, qlens, tlens, *,
+    mismatch, o1, e1, o2, e2, band, with_traceback, dtype=jnp.int32,
+    unroll=2,
+):
+    """Row-major banded Gotoh forward sweep.
+
+    Returns (scores [B] int32, tb [R+1, B, Wr] uint8 or None, R) with
+    R = Q.shape[1] (static row trip count) and Wr = 2*band + 1.
+    """
+    B, Lq = Q.shape
+    Lt = T.shape[1]
+    K = band
+    Wr = 2 * K + 1
+    two = o2 >= 0
+    NEG = _dtype_inf(dtype)
+    i16 = dtype == jnp.int16
+
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+
+    # Tp[i + l] = T[j - 1] for j = i - K + l  (leading K+1 pads)
+    Tp = jnp.pad(T, ((0, 0), (K + 1, K + Lq + 2)), constant_values=TPAD)
+    # Qp[i] = Q[i - 1]
+    Qp = jnp.pad(Q, ((0, 0), (1, 1)), constant_values=QPAD)
+
+    lanes = jnp.arange(Wr, dtype=jnp.int32)[None, :]  # [1, Wr]
+    ramp1 = (lanes * e1).astype(jnp.int32)
+    ramp2 = (lanes * e2).astype(jnp.int32) if two else None
+    BIG = jnp.int32(2**30)
+
+    inf_col = jnp.full((B, 1), NEG, dtype)
+    inf_col32 = jnp.full((B, 1), BIG, jnp.int32)
+    inf_col3 = jnp.full((3, B, 1), NEG, dtype)
+
+    def shift_right32(x):
+        return jnp.concatenate([inf_col32, x[:, :-1]], axis=1)
+
+    def d_pass(Htilde, ramp, o, gmax_w=None):
+        """Closed-form within-row gap: returns (D [B,Wr] dtype, opened)."""
+        A = Htilde.astype(jnp.int32) - ramp
+        P = shift_right32(jax.lax.cummin(A, axis=1))  # exclusive cummin
+        D32 = P + (ramp + o)
+        opened = shift_right32(A) <= shift_right32(P)
+        D = jnp.minimum(D32, jnp.int32(NEG)).astype(dtype)
+        return D, opened
+
+    def compute_row(S, sub, r):
+        """S = [H, I1, I2] of the previous row; returns (Sn, FINrow, byte)."""
+        Sl = jnp.concatenate([S[:, :, 1:], inf_col3], axis=2)  # shift-left
+        H_up, I1_up, I2_up = Sl[0], Sl[1], Sl[2]
+        H_diag = S[0]
+
+        I1n = jnp.minimum(H_up + (o1 + e1), I1_up + e1)
+        i1o = (H_up + (o1 + e1)) <= (I1_up + e1)
+        if two:
+            I2n = jnp.minimum(H_up + (o2 + e2), I2_up + e2)
+            i2o = (H_up + (o2 + e2)) <= (I2_up + e2)
+        else:
+            I2n = jnp.full((B, Wr), NEG, dtype)
+            i2o = jnp.zeros((B, Wr), bool)
+
+        Ht = H_diag + sub
+        if i16:
+            Ht = jnp.minimum(Ht, NEG)
+            I1n = jnp.minimum(I1n, NEG)
+            I2n = jnp.minimum(I2n, NEG)
+        httag = jnp.zeros((B, Wr), jnp.uint8)
+        for cand, tag in ((I1n, 1), (I2n, 2)):
+            better = cand < Ht
+            Ht = jnp.where(better, cand, Ht)
+            httag = jnp.where(better, jnp.uint8(tag), httag)
+
+        D1n, d1o = d_pass(Ht, ramp1, o1)
+        if two:
+            D2n, d2o = d_pass(Ht, ramp2, o2)
+        else:
+            D2n = jnp.full((B, Wr), NEG, dtype)
+            d2o = jnp.zeros((B, Wr), bool)
+
+        Hn = Ht
+        dtag = jnp.zeros((B, Wr), jnp.uint8)
+        for cand, tag in ((D1n, 1), (D2n, 2)):
+            better = cand < Hn
+            Hn = jnp.where(better, cand, Hn)
+            dtag = jnp.where(better, jnp.uint8(tag), dtag)
+
+        byte = (
+            httag
+            | (dtag << 2)
+            | (i1o.astype(jnp.uint8) << 4)
+            | (i2o.astype(jnp.uint8) << 5)
+            | (d1o.astype(jnp.uint8) << 6)
+            | (d2o.astype(jnp.uint8) << 7)
+        )
+        return jnp.stack([Hn, I1n, I2n]), Hn, byte
+
+    # ---- row 0: H[0, j] = closed-form gap column --------------------------
+    Ht0 = jnp.full((B, Wr), NEG, dtype).at[:, K].set(0)
+    D10, d1o0 = d_pass(Ht0, ramp1, o1)
+    if two:
+        D20, d2o0 = d_pass(Ht0, ramp2, o2)
+    else:
+        D20 = jnp.full((B, Wr), NEG, dtype)
+        d2o0 = jnp.zeros((B, Wr), bool)
+    H0 = Ht0
+    dtag0 = jnp.zeros((B, Wr), jnp.uint8)
+    for cand, tag in ((D10, 1), (D20, 2)):
+        better = cand < H0
+        H0 = jnp.where(better, cand, H0)
+        dtag0 = jnp.where(better, jnp.uint8(tag), dtag0)
+    byte0 = (
+        (dtag0 << 2)
+        | (d1o0.astype(jnp.uint8) << 6)
+        | (d2o0.astype(jnp.uint8) << 7)
+    )
+    S = jnp.stack([H0, jnp.full((B, Wr), NEG, dtype), jnp.full((B, Wr), NEG, dtype)])
+    FIN = jnp.where((qlens == 0)[:, None], H0, jnp.full((B, Wr), NEG, dtype))
+
+    def body(carry, r):
+        S, FIN = carry
+        twin = jax.lax.dynamic_slice_in_dim(Tp, r, Wr, axis=1)
+        qchar = jax.lax.dynamic_slice_in_dim(Qp, r, 1, axis=1)
+        sub = jnp.where(qchar == twin, 0, mismatch).astype(dtype)
+        Sn, Hn, byte = compute_row(S, sub, r)
+        FIN = jnp.where((r == qlens)[:, None], Hn, FIN)
+        return (Sn, FIN), byte if with_traceback else jnp.zeros((B, 0), jnp.uint8)
+
+    rs = jnp.arange(1, Lq + 1, dtype=jnp.int32)
+    (S, FIN), tb_rows = jax.lax.scan(body, (S, FIN), rs, unroll=unroll)
+
+    fin_lane = tlens - qlens + K
+    fin_val = jnp.min(
+        jnp.where(lanes == fin_lane[:, None], FIN.astype(jnp.int32), INF), axis=1
+    )
+    ok = (fin_lane >= 0) & (fin_lane < Wr) & (fin_val < INF)
+    scores = jnp.where(ok, fin_val, -1)
+
+    if not with_traceback:
+        return scores, None, Lq
+    tb = jnp.concatenate([byte0[None], tb_rows], axis=0)  # [Lq+1, B, Wr]
+    return scores, tb, Lq
+
+
+def _tb_rows_scan(tb, qlens, tlens, *, band: int, unroll: int = 2):
+    """Row-major device walk.
+
+    Returns (steps [B, R+1] uint8 with OP_M/OP_I per row (OP_NONE pre-start),
+    grows [B, GAP_MAX] int32 gap rows ascending (-1 pad), gvals [B, GAP_MAX]
+    int32 run lengths, gcount [B] int32 total D-runs).  A gap's 'D' ops sort
+    AFTER the same row's step op in forward order; a row-0 gap precedes
+    everything (leading deletion).
+    """
+    R = tb.shape[0] - 1
+    B = tb.shape[1]
+    Wr = tb.shape[2]
+    K = band
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+    lanes = jnp.arange(Wr, dtype=jnp.int32)[None, :]
+
+    cur_i0 = qlens
+    cur_l0 = jnp.clip(tlens - qlens + K, 0, Wr - 1)
+    st0 = jnp.zeros(B, jnp.int32)  # 0 = H, 1 = I1, 2 = I2
+    done0 = (qlens == 0) & (tlens == 0)
+
+    def pick(row, l):
+        return jnp.sum(jnp.where(lanes == l[:, None], row, 0), axis=1)
+
+    def body(state, r):
+        cur_i, cur_l, st, done = state
+        active = (~done) & (cur_i == r)
+        row = jax.lax.dynamic_slice_in_dim(tb, r, 1, axis=0)[0].astype(jnp.int32)
+
+        b1 = pick(row, cur_l)
+        in_h = st == 0
+        dtag = jnp.where(in_h, (b1 >> 2) & 3, 0)
+        has_run = dtag > 0
+
+        # resolve the whole D-run: nearest opened cell at or left of cur_l
+        openbit = (row >> (5 + dtag)[:, None]) & 1
+        mask = (openbit > 0) & (lanes <= cur_l[:, None]) & has_run[:, None]
+        l0 = jnp.max(jnp.where(mask, lanes, -1), axis=1)
+        glen = jnp.where(has_run & (l0 >= 0), cur_l - l0 + 1, 0)
+
+        # the step op of this row comes from the run predecessor's byte
+        step_lane = jnp.where(has_run, l0 - 1, cur_l)
+        b2 = pick(row, step_lane)
+
+        ht = jnp.where(in_h, b2 & 3, st)  # 0 = diag, 1/2 = I component
+        is_i = ht > 0
+        iopen = (jnp.where(in_h, b2, b1) >> (3 + ht)) & 1
+
+        at0 = r == 0
+        terminal = active & at0  # row-0: only the leading gap remains
+        op = jnp.where(is_i, OP_I, OP_M).astype(jnp.uint8)
+        step_emit = jnp.where(active & ~terminal, op, OP_NONE).astype(jnp.uint8)
+        gap_emit = jnp.where(active, glen, 0)
+
+        ni = cur_i - 1
+        nl = step_lane + is_i.astype(jnp.int32)
+        nst = jnp.where(is_i & (iopen == 0), ht, 0)
+        ndone = terminal | ((ni == 0) & (nl == K))
+
+        cur_i = jnp.where(active, ni, cur_i)
+        cur_l = jnp.where(active, nl, cur_l)
+        st = jnp.where(active, nst, st)
+        done = done | (active & ndone)
+        return (cur_i, cur_l, st, done), (step_emit, gap_emit)
+
+    rds = jnp.arange(R, -1, -1, dtype=jnp.int32)
+    _, (steps_rev, gaps_rev) = jax.lax.scan(
+        body, (cur_i0, cur_l0, st0, done0), rds, unroll=unroll
+    )
+    steps = steps_rev[::-1].T  # [B, R+1], column r = row r
+    gaps = gaps_rev[::-1].T
+
+    # compact the sparse gap list: rows ascending
+    rows_idx = jnp.arange(R + 1, dtype=jnp.int32)[None, :]
+    mask = gaps > 0
+    key = jnp.where(mask, (R + 1) - rows_idx, 0)
+    _, gpos = jax.lax.top_k(key, min(GAP_MAX, R + 1))
+    gvals = jnp.take_along_axis(gaps, gpos, axis=1)
+    valid = jnp.take_along_axis(mask, gpos, axis=1)
+    grows = jnp.where(valid, gpos, -1)
+    gvals = jnp.where(valid, gvals, 0)
+    gcount = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    return steps, grows, gvals, gcount
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mismatch", "o1", "e1", "o2", "e2", "band", "use_int16",
+                     "unroll", "tb_unroll"),
+)
+def nw_align_rows(
+    Q, T, qlens, tlens, *, mismatch, o1, e1, o2, e2, band,
+    use_int16=False, unroll=2, tb_unroll=2,
+):
+    """Fused row-major sweep + walk: one dispatch.
+
+    Returns (scores [B] int32, steps_packed [B, ceil((R+1)/4)] uint8 (2-bit
+    codes, see pack_opcodes), grows [B, GAP_MAX] int16, gvals [B, GAP_MAX]
+    int16, gcount [B] int32).  gcount > GAP_MAX means the gap list
+    overflowed and the pair must be re-aligned on the anti-diagonal kernel.
+    """
+    scores, tb, R = _sweep_rows(
+        Q, T, qlens, tlens,
+        mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2,
+        band=band, with_traceback=True,
+        dtype=jnp.int16 if use_int16 else jnp.int32,
+        unroll=unroll,
+    )
+    steps, grows, gvals, gcount = _tb_rows_scan(
+        tb, qlens, tlens, band=band, unroll=tb_unroll
+    )
+    return (
+        scores,
+        pack_opcodes(steps),
+        grows.astype(jnp.int16),
+        gvals.astype(jnp.int16),
+        gcount,
+    )
+
+
+def decode_rowtokens(
+    steps_row: np.ndarray, grows: np.ndarray, gvals: np.ndarray,
+    gcount: int, qlen: int,
+) -> list[tuple[int, str]]:
+    """Host expansion of the row-major walk's output into run-length items
+    with 'M' placeholders (resolve with resolve_matches, like
+    decode_opcodes).  steps_row[r] (r in 1..qlen) is the M/I op of row r;
+    gap g at row r inserts g 'D's after row r's step (before everything for
+    r = 0)."""
+    items: list[tuple[int, str]] = []
+    steps = np.asarray(steps_row)
+    syms = np.array([0, ord("M"), ord("I"), 0], dtype=np.uint8)
+
+    def emit_steps(lo, hi):
+        if hi < lo:
+            return
+        seg = syms[steps[lo : hi + 1]]
+        if seg.size == 0:
+            return
+        change = np.empty(seg.size, dtype=bool)
+        change[0] = True
+        change[1:] = seg[1:] != seg[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], seg.size)
+        for s, e in zip(starts, ends):
+            if seg[s]:
+                items.append((int(e - s), chr(seg[s])))
+
+    pos = 1
+    for k in range(int(gcount)):
+        r = int(grows[k])
+        g = int(gvals[k])
+        if r < 0:
+            break
+        if r >= pos:
+            emit_steps(pos, min(r, qlen))
+            pos = r + 1
+        if items and items[-1][1] == "D":
+            items[-1] = (items[-1][0] + g, "D")
+        else:
+            items.append((g, "D"))
+    emit_steps(pos, qlen)
+    return items

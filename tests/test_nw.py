@@ -338,3 +338,173 @@ def test_v3_single_piece_and_tiny_band():
         s3, o3_ = nw.nw_align_with_opcodes(Q, T, qlens, tlens, impl="v3", **kw)
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
         np.testing.assert_array_equal(np.asarray(o1_), np.asarray(o3_))
+
+
+# -----------------------------------------------------------------------------
+# Row-major (v4) kernel
+# -----------------------------------------------------------------------------
+
+
+def _pack_for_rows(pairs_raw):
+    qs = [encode_bases(q) for q, _ in pairs_raw]
+    ts = [encode_bases(t) for _, t in pairs_raw]
+    lq = max(max(q.size for q in qs), 1)
+    lt = max(max(t.size for t in ts), 1)
+    Q = np.stack([np.concatenate([q, np.full(lq - q.size, nw.QPAD, np.uint8)]) for q in qs])
+    T = np.stack([np.concatenate([t, np.full(lt - t.size, nw.TPAD, np.uint8)]) for t in ts])
+    qlens = np.array([q.size for q in qs], np.int32)
+    tlens = np.array([t.size for t in ts], np.int32)
+    return Q, T, qlens, tlens
+
+
+def _cigar_cost(items, pen):
+    """Alignment cost of a resolved CIGAR under two-piece-affine penalties;
+    every maximal gap run costs its best single piece (optimal paths never
+    pay more, see the v4 design note in ops/nw.py)."""
+    cost = 0
+    for n, op in items:
+        if op == "X":
+            cost += n * pen.mismatch
+        elif op in "ID":
+            c1 = pen.gap1_open + n * pen.gap1_extend
+            c2 = (pen.gap2_open + n * pen.gap2_extend) if pen.two_piece else c1
+            cost += min(c1, c2)
+    return cost
+
+
+def _rows_align(Q, T, qlens, tlens, pen, band, use_int16=False):
+    return nw.nw_align_rows(
+        Q, T, qlens, tlens,
+        mismatch=pen.mismatch, o1=pen.gap1_open, e1=pen.gap1_extend,
+        o2=pen.gap2_open if pen.two_piece else -1,
+        e2=pen.gap2_extend if pen.two_piece else -1,
+        band=band, use_int16=use_int16,
+    )
+
+
+def _rows_decode(out, b, qlen):
+    _, steps_p, grows, gvals, gcount = (np.asarray(a) for a in out)
+    steps = nw.unpack_opcodes(steps_p, steps_p.shape[1] * 4)
+    return nw.decode_rowtokens(
+        steps[b], grows[b], gvals[b], int(gcount[b]), qlen
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_rows_matches_v1_scores_and_cigar_cost(seed):
+    """v4 scores are bit-identical to v1; v4 CIGARs consume exactly
+    (qlen, tlen) and cost exactly the reported score (co-optimal CIGARs may
+    differ from v1's in tie cases — both are optimal)."""
+    rng = np.random.default_rng(300 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pairs_raw = []
+    for b in range(6):
+        n = int(rng.integers(1, 300))
+        q = bases[rng.integers(0, 4, n)]
+        t = bytearray(q.tobytes())
+        for pos in rng.integers(0, max(n, 1), size=max(n // 12, 1)):
+            t[pos % len(t)] = bases[rng.integers(0, 4)]
+        for _ in range(int(rng.integers(0, 3))):
+            pos = int(rng.integers(0, max(len(t) - 5, 1)))
+            ln = int(rng.integers(1, 12))
+            if rng.random() < 0.5 and len(t) > ln + 2:
+                del t[pos : pos + ln]
+            else:
+                t[pos:pos] = bases[rng.integers(0, 4, ln)].tobytes()
+        pairs_raw.append((q.tobytes(), bytes(t)))
+    pairs_raw.append((b"", b""))  # dummy
+    Q, T, qlens, tlens = _pack_for_rows(pairs_raw)
+    tmax = int((qlens + tlens).max())
+    kw = dict(mismatch=PEN.mismatch, o1=PEN.gap1_open, e1=PEN.gap1_extend,
+              o2=PEN.gap2_open, e2=PEN.gap2_extend, band=64, tmax=tmax)
+    s1, _ = nw.nw_align_with_opcodes(Q, T, qlens, tlens, impl="v1", **kw)
+    s1 = np.where(qlens + tlens == 0, 0, np.asarray(s1))
+    for use_int16 in (False, True):
+        out = _rows_align(Q, T, qlens, tlens, PEN, band=64, use_int16=use_int16)
+        s4 = np.asarray(out[0])
+        np.testing.assert_array_equal(s1, s4)
+        for b, (qr, tr) in enumerate(pairs_raw):
+            items = _rows_decode(out, b, int(qlens[b]))
+            items = nw.resolve_matches(items, encode_bases(qr), encode_bases(tr))
+            qc = sum(n for n, op in items if op in "=XI")
+            tc = sum(n for n, op in items if op in "=XD")
+            assert (qc, tc) == (int(qlens[b]), int(tlens[b])), f"pair {b}"
+            assert _cigar_cost(items, PEN) == int(s4[b]), f"pair {b}"
+
+
+def test_rows_edge_cases():
+    """Leading/trailing/pure gaps, single bases, identical pairs,
+    single-piece penalties."""
+    cases = [
+        (b"C", b"XXC"), (b"A", b"AXX"), (b"", b"ACGT"), (b"ACGT", b""),
+        (b"A", b"G"), (b"ACACAC", b"ACACAC"), (b"ACGT", b"ACGT"),
+        (b"AAAA", b"AATAAA"), (b"AATAAA", b"AAAA"),
+    ]
+    for pen in (PEN, PEN1):
+        Q, T, qlens, tlens = _pack_for_rows(cases)
+        tmax = int((qlens + tlens).max())
+        kw = dict(mismatch=pen.mismatch, o1=pen.gap1_open, e1=pen.gap1_extend,
+                  o2=pen.gap2_open if pen.two_piece else -1,
+                  e2=pen.gap2_extend if pen.two_piece else -1,
+                  band=16, tmax=tmax)
+        s1, _ = nw.nw_align_with_opcodes(Q, T, qlens, tlens, impl="v1", **kw)
+        s1 = np.asarray(s1)
+        out = _rows_align(Q, T, qlens, tlens, pen, band=16)
+        s4 = np.asarray(out[0])
+        np.testing.assert_array_equal(s1, s4)
+        for b, (qr, tr) in enumerate(cases):
+            items = _rows_decode(out, b, int(qlens[b]))
+            items = nw.resolve_matches(items, encode_bases(qr), encode_bases(tr))
+            qc = sum(n for n, op in items if op in "=XI")
+            tc = sum(n for n, op in items if op in "=XD")
+            assert (qc, tc) == (int(qlens[b]), int(tlens[b])), (pen, b, items)
+            assert _cigar_cost(items, pen) == int(s4[b]), (pen, b, items)
+
+
+def test_rows_against_dp_oracle():
+    """v4 scores equal the O(nm) reference DP on small random pairs."""
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pairs_raw = []
+    for _ in range(8):
+        n = int(rng.integers(1, 40))
+        m = int(rng.integers(1, 40))
+        pairs_raw.append(
+            (bases[rng.integers(0, 4, n)].tobytes(),
+             bases[rng.integers(0, 4, m)].tobytes())
+        )
+    Q, T, qlens, tlens = _pack_for_rows(pairs_raw)
+    out = _rows_align(Q, T, qlens, tlens, PEN, band=48)
+    s4 = np.asarray(out[0])
+    for b, (qr, tr) in enumerate(pairs_raw):
+        oracle = wfa.affine2p_score_dp(encode_bases(qr), encode_bases(tr), PEN)
+        assert int(s4[b]) == oracle, f"pair {b}"
+
+
+def test_rows_gap_overflow_falls_back():
+    """A pair with more D-runs than GAP_MAX retries on the anti-diagonal
+    kernel through the runner and still aligns exactly."""
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(5)
+    bases = b"ACGT"
+    q = bytearray()
+    t = bytearray()
+    # one 1-base deletion per 40-base block: merging runs across a block
+    # costs 40 mismatches (200) to save one open (<= 23) — never optimal,
+    # so the optimal CIGAR keeps GAP_MAX + 40 separate D-runs
+    for _ in range(nw.GAP_MAX + 40):
+        block = bytes(bases[rng.integers(0, 4)] for _ in range(40))
+        q += block
+        t += block + bytes([bases[rng.integers(0, 4)]])
+    seqs = make_sequence_set([("q", bytes(q)), ("t", bytes(t))])
+    cfg = RunnerConfig(scores=AlignmentScores.parse("0,5,8,2,24,1"))
+    al = WfaAligner(seqs, cfg)
+    res = al.align_pairs(np.array([[0, 1]]))
+    assert len(res) == 1
+    assert al.stats["gap_overflows"] >= 1
+    qc = sum(n for n, op in res[0].cigar if op in "=XI")
+    tc = sum(n for n, op in res[0].cigar if op in "=XD")
+    assert (qc, tc) == (len(q), len(t))
