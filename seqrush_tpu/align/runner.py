@@ -98,11 +98,15 @@ class RunnerConfig:
     # in the latency-bound regime (int16's saturation clamps add ops to the
     # serial chain, docs/PROFILE_TPU_V3.json)
     dp_dtype: str = "int32"
-    # forward sweep: 'rows' = row-major v4 (half the serial steps; default),
-    # 'antidiag' = anti-diagonal v3.  Pairs whose compacted gap list
-    # overflows nw.GAP_MAX (pathological divergence) fall back to the
-    # anti-diagonal kernel automatically.
-    sweep: str = "rows"
+    # forward sweep: 'antidiag' = anti-diagonal v3 (default), 'rows' =
+    # row-major v4.  v4 halves the serial trip count but its within-row
+    # gap recurrence needs a lane-axis cummin, which XLA lowers
+    # pathologically on TPU (measured 10-40x slower per step than v3,
+    # docs/PROFILE_TPU_V4.json) — it remains a tested option and the
+    # better choice on backends with cheap associative scans.  Pairs whose
+    # compacted gap list overflows nw.GAP_MAX retry on the anti-diagonal
+    # kernel automatically.
+    sweep: str = "antidiag"
 
 
 def _round_up(x: int, m: int) -> int:

@@ -500,7 +500,7 @@ def test_rows_gap_overflow_falls_back():
         q += block
         t += block + bytes([bases[rng.integers(0, 4)]])
     seqs = make_sequence_set([("q", bytes(q)), ("t", bytes(t))])
-    cfg = RunnerConfig(scores=AlignmentScores.parse("0,5,8,2,24,1"))
+    cfg = RunnerConfig(scores=AlignmentScores.parse("0,5,8,2,24,1"), sweep="rows")
     al = WfaAligner(seqs, cfg)
     res = al.align_pairs(np.array([[0, 1]]))
     assert len(res) == 1
@@ -508,3 +508,39 @@ def test_rows_gap_overflow_falls_back():
     qc = sum(n for n, op in res[0].cigar if op in "=XI")
     tc = sum(n for n, op in res[0].cigar if op in "=XD")
     assert (qc, tc) == (len(q), len(t))
+
+
+def test_runner_rows_vs_antidiag_scores_identical():
+    """Both sweeps produce identical scores and valid CIGARs through the
+    runner on a small SNP/indel workload."""
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    base = bases[rng.integers(0, 4, 400)]
+    named = [("s0", base.tobytes())]
+    for k in range(1, 4):
+        v = bytearray(base.tobytes())
+        for pos in rng.integers(0, len(v), 8):
+            v[pos] = bases[rng.integers(0, 4)]
+        del v[100 + k : 108 + k]
+        named.append((f"s{k}", bytes(v)))
+    seqs = make_sequence_set(named)
+    pairs = np.array([(i, j) for i in range(4) for j in range(4) if i != j])
+    results = {}
+    for sweep in ("antidiag", "rows"):
+        cfg = RunnerConfig(scores=AlignmentScores.parse("0,5,8,2,24,1"), sweep=sweep)
+        res = WfaAligner(seqs, cfg).align_pairs(pairs)
+        results[sweep] = {(r.query_idx, r.target_idx): r for r in res}
+    assert results["antidiag"].keys() == results["rows"].keys()
+    for key, ra in results["antidiag"].items():
+        rr = results["rows"][key]
+        assert ra.score == rr.score, key
+        for r in (ra, rr):
+            qlen = len(named[r.query_idx][1])
+            tlen = len(named[r.target_idx][1])
+            qc = sum(n for n, op in r.cigar if op in "=XI")
+            tc = sum(n for n, op in r.cigar if op in "=XD")
+            assert (qc, tc) == (qlen, tlen), key
