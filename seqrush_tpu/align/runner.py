@@ -781,6 +781,20 @@ class WfaAligner:
             self.stats["cells_true"] += (qlen + tlen + 1) * (bandj + 1)
             decode_jobs.append((b, p, rc, q, t, score))
 
+        if mode == "ops" and decode_jobs:
+            # hot path: one vectorized decode over the whole chunk (cursor
+            # cumsums + one gather + one RLE) instead of per-pair walks
+            rows = [b for b, *_ in decode_jobs]
+            items_all = nw.decode_batch(
+                data[rows],
+                [q for _b, _p, _rc, q, _t, _s in decode_jobs],
+                [t for _b, _p, _rc, _q, t, _s in decode_jobs],
+            )
+            for (b, p, rc, q, t, score), items in zip(decode_jobs, items_all):
+                qi, tj = pairs[p]
+                done[(p, rc)] = AlignmentResult(int(qi), int(tj), rc, score, items)
+            return done, retries
+
         def decode(args):
             b, p, rc, q, t, score = args
             qi, tj = pairs[p]
@@ -791,8 +805,6 @@ class WfaAligner:
                 items = nw.decode_rowtokens(
                     steps[b], grows[b], gvals[b], int(gcount[b]), int(qlens[b])
                 )
-            elif mode == "ops":
-                items = nw.decode_opcodes(data[b])
             else:
                 items = nw.traceback_pair(
                     data[b], int(qlens[b]), int(tlens[b]), band

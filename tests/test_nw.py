@@ -544,3 +544,54 @@ def test_runner_rows_vs_antidiag_scores_identical():
             qc = sum(n for n, op in r.cigar if op in "=XI")
             tc = sum(n for n, op in r.cigar if op in "=XD")
             assert (qc, tc) == (qlen, tlen), key
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_decode_batch_matches_per_pair(seed):
+    """The vectorized whole-batch decode equals per-pair decode_opcodes +
+    resolve_matches on kernel-produced opcode streams."""
+    rng = np.random.default_rng(500 + seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pairs = []
+    for k in range(7):
+        base = bases[rng.integers(0, 4, size=80 + 10 * k)].tobytes()
+        alt = bytearray(base)
+        for pos in rng.integers(0, len(alt), size=5):
+            alt[pos] = bases[rng.integers(0, 4)]
+        if k % 2:
+            del alt[30 : 30 + k]
+        if k % 3 == 1:
+            alt[60:60] = bases[rng.integers(0, 4, size=k)].tobytes()
+        pairs.append((base, bytes(alt)))
+    pairs.append((b"ACGT", b"ACGT"))  # trivial all-match row
+    scores, tb, ql, tl = run_nw(pairs, PEN, band=32)
+    ops_packed = nw.traceback_scan_device(
+        np.asarray(tb), ql, tl, band=32, tmax=tb.shape[1] - 1
+    )
+    ops = nw.unpack_opcodes(ops_packed, np.asarray(ops_packed).shape[1] * 4)
+    qs = [encode_bases(q) for q, _ in pairs]
+    ts = [encode_bases(t) for _, t in pairs]
+    batch = nw.decode_batch(ops, qs, ts)
+    for b, (q, t) in enumerate(pairs):
+        ref = nw.resolve_matches(nw.decode_opcodes(ops[b]), qs[b], ts[b])
+        assert batch[b] == ref, f"pair {b}"
+        check_cigar(batch[b], q, t)
+
+
+def test_decode_batch_empty_rows():
+    """All-none rows decode to empty item lists; mixed batches keep row
+    boundaries (no run bleeds across rows)."""
+    ops = np.zeros((3, 12), np.uint8)
+    ops[0, :4] = [nw.OP_M, nw.OP_M, nw.OP_I, nw.OP_D]
+    # row 1 all none; row 2 starts with the same op row 0 ended with
+    ops[2, :3] = [nw.OP_D, nw.OP_M, nw.OP_M]
+    q0 = encode_bases(b"ACG")
+    t0 = encode_bases(b"ACT")
+    q2 = encode_bases(b"GG")
+    t2 = encode_bases(b"AGG")
+    batch = nw.decode_batch(
+        ops, [q0, encode_bases(b"A"), q2], [t0, encode_bases(b"A"), t2]
+    )
+    assert batch[0] == [(2, "="), (1, "I"), (1, "D")]
+    assert batch[1] == []
+    assert batch[2] == [(1, "D"), (2, "=")]
