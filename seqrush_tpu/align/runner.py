@@ -107,6 +107,21 @@ class RunnerConfig:
     # compacted gap list overflows nw.GAP_MAX retry on the anti-diagonal
     # kernel automatically.
     sweep: str = "antidiag"
+    # bidirectional fold: run each pair as forward + backward batch rows
+    # meeting at the middle anti-diagonal (ops/nw.py nw_align_fold) — half
+    # the serial steps for 2x the batch rows, a ~2x win in the
+    # latency-bound regime where per-step cost is flat in B.  Exact (same
+    # scores as the single sweep; fold tests assert parity); the kernel
+    # band widens by the chunk's max |qlen - tlen| so the certified-K
+    # region stays covered.  Applies to the antidiag sweep on the standard
+    # paths; mesh / pallas / segmented-long dispatches use the single
+    # sweep.  'auto' (default) folds only chunks whose padded batch is
+    # <= fold_max_batch: the fold's snapshot carry doubles per-step state
+    # traffic, free while the scan is latency-bound (flat in B) but a real
+    # cost in the big-batch bandwidth-bound regime where halving the trip
+    # count is already neutral.
+    fold: bool | str = "auto"
+    fold_max_batch: int = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -520,10 +535,11 @@ class WfaAligner:
 
     def _ensure_resident(self):
         """Upload the sequence set once: queries (fwd + RC rows, QPAD) and
-        targets (fwd rows, TPAD).  Per-dispatch host->device traffic then
-        shrinks to row indices + lengths (the tunnel's h2d link is slow:
-        ~30 ms for a 96x3584 byte batch), and repeated align_pairs calls on
-        one aligner re-upload nothing."""
+        targets (fwd rows, TPAD), plus base-REVERSED twins of each row for
+        the bidirectional fold's backward halves.  Per-dispatch host->device
+        traffic then shrinks to row indices + lengths (the tunnel's h2d link
+        is slow: ~30 ms for a 96x3584 byte batch), and repeated align_pairs
+        calls on one aligner re-upload nothing."""
         if getattr(self, "_resident", None) is not None:
             return self._resident
         import jax
@@ -532,11 +548,23 @@ class WfaAligner:
         lmax = _round_up(max(c.size for c in self.codes), 256)
         Rq = np.full((2 * n, lmax), wfa.QPAD, np.uint8)
         Rt = np.full((n, lmax), wfa.TPAD, np.uint8)
+        Rqr = np.full((2 * n, lmax), wfa.QPAD, np.uint8)
+        Rtr = np.full((n, lmax), wfa.TPAD, np.uint8)
         for k, c in enumerate(self.codes):
             Rq[k, : c.size] = c
             Rq[n + k, : self.rc_codes[k].size] = self.rc_codes[k]
             Rt[k, : c.size] = c
-        self._resident = (jax.device_put(Rq), jax.device_put(Rt), n, lmax)
+            Rqr[k, : c.size] = c[::-1]
+            Rqr[n + k, : self.rc_codes[k].size] = self.rc_codes[k][::-1]
+            Rtr[k, : c.size] = c[::-1]
+        self._resident = (
+            jax.device_put(Rq),
+            jax.device_put(Rt),
+            jax.device_put(Rqr),
+            jax.device_put(Rtr),
+            n,
+            lmax,
+        )
         return self._resident
 
     def _use_rows(self, chunk) -> bool:
@@ -600,7 +628,6 @@ class WfaAligner:
             band=band,
             tmax=tmax,
         )
-        self.stats["cells_padded"] += B * (tmax + 2) * (band + 1)
 
         needs_host_arrays = (
             self.cfg.mesh is not None
@@ -608,12 +635,20 @@ class WfaAligner:
             or not self.cfg.device_traceback
             or self._use_pallas()
         )
+        fold_cfg = self.cfg.fold
+        fold_on = (
+            fold_cfg is True
+            or (fold_cfg == "auto" and B <= self.cfg.fold_max_batch)
+        )
+        use_fold = fold_on and not needs_host_arrays and not self._use_rows(chunk)
+        if not use_fold:
+            self.stats["cells_padded"] += B * (tmax + 2) * (band + 1)
         if not needs_host_arrays:
             # hot path: gather query/target rows from the device-resident
             # sequence arrays — per-dispatch h2d is just indices + lengths
             import jax.numpy as jnp
 
-            Rq, Rt, n, lmax = self._ensure_resident()
+            Rq, Rt, Rqr, Rtr, n, lmax = self._ensure_resident()
             q_idx = np.zeros(B, np.int32)
             t_idx = np.zeros(B, np.int32)
             qlens = np.zeros(B, np.int32)
@@ -634,6 +669,29 @@ class WfaAligner:
                 return (
                     chunk, out[0], ("rowtok", out[1:]),
                     qlens, tlens, band, use_int16,
+                )
+            if use_fold:
+                # bidirectional fold: backward halves read the resident
+                # reversed rows; the kernel band widens by the chunk's max
+                # length difference (fold region must cover the certified-K
+                # band — see ops/nw.py) and the trip count halves
+                maxdiff = max(abs(q.size - t.size) for *_, q, t in chunk)
+                maxlen = max(max(q.size, t.size) for *_, q, t in chunk)
+                band_eff = self._quantize_band(band + maxdiff, maxlen, maxlen)
+                tmax_half = _round_up(tmax // 2 + 2, 256)
+                Qr = jnp.take(Rqr, q_idx, axis=0)
+                Tr = jnp.take(Rtr, t_idx, axis=0)
+                kwf = {k: v for k, v in kw.items() if k not in ("band", "tmax")}
+                scores, packed2, cross_m = nw.nw_align_fold(
+                    Q, T, Qr, Tr, qlens, tlens, use_int16=use_int16,
+                    band=band_eff, tmax_half=tmax_half, **kwf,
+                )
+                self.stats["cells_padded"] += (
+                    2 * B * (tmax_half + 2) * (band_eff + 1)
+                )
+                return (
+                    chunk, scores, ("fold", (packed2, cross_m)),
+                    qlens, tlens, band_eff, use_int16,
                 )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16, **kw
@@ -736,15 +794,23 @@ class WfaAligner:
 
         scores = np.asarray(scores)
         mode, data = payload
-        if mode == "rowtok":
+        if mode == "fold":
+            # two packed half-walk streams per pair: unpack, merge
+            # fwd ++ [M crossing op] ++ reversed(bwd), then decode as 'ops'
+            packed2, cross_m = data
+            packed2 = np.asarray(packed2)
+            ops2 = nw.unpack_opcodes(packed2, packed2.shape[1] * 4)
+            data = nw.merge_fold_ops(ops2, np.asarray(cross_m))
+            mode = "ops"
+        elif mode == "rowtok":
             steps_p, grows, gvals, gcount = (np.asarray(a) for a in data)
             steps = nw.unpack_opcodes(steps_p, steps_p.shape[1] * 4)
             data = (steps, grows, gvals, gcount)
         elif mode != "items":
             data = np.asarray(data)
-        if mode == "ops":
-            # 2-bit-packed opcode rows: unpack the whole batch vectorized
-            data = nw.unpack_opcodes(data, data.shape[1] * 4)
+            if mode == "ops":
+                # 2-bit-packed opcode rows: unpack the whole batch vectorized
+                data = nw.unpack_opcodes(data, data.shape[1] * 4)
 
         done: dict[tuple[int, bool], AlignmentResult | None] = {}
         retries: list[tuple[tuple[int, bool, int, bool], int]] = []

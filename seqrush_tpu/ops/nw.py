@@ -248,7 +248,7 @@ def _sweep_tbw(
 def _sweep_v3(
     Q, T, qlens, tlens, *,
     mismatch, o1, e1, o2, e2, band, tmax, with_traceback, dtype=jnp.int32,
-    unroll=2,
+    unroll=2, t_snap=None,
 ):
     """Forward banded sweep, v3: minimal fusion-breaking ops per row.
 
@@ -268,6 +268,15 @@ def _sweep_v3(
     * score capture is one predicated copy per row into a carried FIN row
       ([B, W]); the per-pair final lane is extracted once after the loop;
     * phase A's query window is static (i0 = 0) and hoisted out of the loop.
+
+    t_snap (optional [B] int32): per-row snapshot anti-diagonal for the
+    bidirectional fold (nw_align_fold).  When given, the sweep additionally
+    captures, per row b: the full stacked carry at t == t_snap[b]
+    (SNAP [6, B, W]: H(t), H(t-1), I1, D1, I2, D2 — each in its own lane
+    frame) and the H diagonal-arrival candidate h_diag + sub at
+    t == t_snap[b] (DIAGA) and t == t_snap[b] + 1 (DIAGB).  Returns change
+    from (scores, tb, T_total) to (scores, tb, (SNAP, DIAGA, DIAGB),
+    T_total).  Captures are predicated copies fused into the row body.
     """
     B, Lq = Q.shape
     Lt = T.shape[1]
@@ -330,6 +339,7 @@ def _sweep_v3(
             Hn = jnp.where(better, cand, Hn)
             choice = jnp.where(better, jnp.uint8(tag), choice)
 
+        Hdiag = h_diag + sub  # M-arrival candidate (fold snapshot; else DCE'd)
         if clamp:
             valid = valid_fn()
             Hn = jnp.where(valid, jnp.minimum(Hn, NEG), NEG)
@@ -337,6 +347,7 @@ def _sweep_v3(
             D1n = jnp.where(valid, jnp.minimum(D1n, NEG), NEG)
             I2n = jnp.where(valid, jnp.minimum(I2n, NEG), NEG)
             D2n = jnp.where(valid, jnp.minimum(D2n, NEG), NEG)
+            Hdiag = jnp.where(valid, jnp.minimum(Hdiag, NEG), NEG)
 
         packed = (
             choice
@@ -345,19 +356,41 @@ def _sweep_v3(
             | (d1_opened.astype(jnp.uint8) << 5)
             | (d2_opened.astype(jnp.uint8) << 6)
         )
-        return Hn, I1n, D1n, I2n, D2n, packed
+        return Hn, I1n, D1n, I2n, D2n, packed, Hdiag
 
     def twin_at(t, i0):
         return jax.lax.dynamic_slice_in_dim(
             Trev, jnp.clip(Lt - t + i0 + W, 0, Trev.shape[1] - W), W, axis=1
         )
 
+    # fold snapshots: SNAP holds the stacked carry at t == t_snap per row;
+    # DIAGA/DIAGB hold the M-arrival candidate at t_snap / t_snap + 1.
+    # t_snap == 0 snapshots the initial state (origin row).
+    fold = t_snap is not None
+    if fold:
+        t_snap = t_snap.astype(jnp.int32)
+        SNAP = jnp.where((t_snap == 0)[None, :, None], S, NEG)
+        DIAGA = jnp.full((B, W), NEG, dtype)
+        DIAGB = jnp.full((B, W), NEG, dtype)
+
+    def snap_update(snaps, t, Sn, Hdiag):
+        if not fold:
+            return snaps
+        SNAP, DIAGA, DIAGB = snaps
+        hit = (t == t_snap)[:, None]
+        SNAP = jnp.where(hit[None], Sn, SNAP)
+        DIAGA = jnp.where(hit, Hdiag, DIAGA)
+        DIAGB = jnp.where((t == t_snap + 1)[:, None], Hdiag, DIAGB)
+        return SNAP, DIAGA, DIAGB
+
+    snaps0 = (SNAP, DIAGA, DIAGB) if fold else ()
+
     # ---- phase A: t in [1, TA], i0 = 0 -----------------------------------
     TA = min(K, tmax)
     qwin_a = Qp[:, :W]  # static: i0 = 0 throughout phase A
 
     def body_a(carry, t):
-        S, FIN = carry
+        S, FIN, snaps = carry
         R = sr6(S)
         deps = (R[0], S[0], R[1], R[2], S[3], R[4], S[5])
         sub = jnp.where(qwin_a == twin_at(t, 0), 0, mismatch).astype(dtype)
@@ -367,12 +400,13 @@ def _sweep_v3(
             j = t - i
             return (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
 
-        Hn, I1n, D1n, I2n, D2n, packed = compute_row(t, 0, deps, sub, valid_fn)
+        Hn, I1n, D1n, I2n, D2n, packed, Hdiag = compute_row(t, 0, deps, sub, valid_fn)
         FIN = jnp.where((t == fin_t)[:, None], Hn, FIN)
         Sn = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
-        return (Sn, FIN), packed if with_traceback else jnp.zeros((B, 0), jnp.uint8)
+        snaps = snap_update(snaps, t, Sn, Hdiag)
+        return (Sn, FIN, snaps), packed if with_traceback else jnp.zeros((B, 0), jnp.uint8)
 
-    carry = (S, FIN)
+    carry = (S, FIN, snaps0)
     ts_a = jnp.arange(1, TA + 1, dtype=jnp.int32)
     carry, tb_a = jax.lax.scan(body_a, carry, ts_a, unroll=unroll)
 
@@ -381,7 +415,7 @@ def _sweep_v3(
     T_total = TA + 2 * M
 
     def body_b(carry, m):
-        S, FIN = carry
+        S, FIN, snaps = carry
         t1 = TA + 1 + 2 * m
         i0 = (t1 - K + 1) // 2
         qwin = jax.lax.dynamic_slice_in_dim(
@@ -397,9 +431,10 @@ def _sweep_v3(
             j = t1 - i
             return (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
 
-        Hn, I1n, D1n, I2n, D2n, p1 = compute_row(t1, i0, deps, sub, valid1)
+        Hn, I1n, D1n, I2n, D2n, p1, Hdiag = compute_row(t1, i0, deps, sub, valid1)
         FIN = jnp.where((t1 == fin_t)[:, None], Hn, FIN)
         S = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        snaps = snap_update(snaps, t1, S, Hdiag)
         # row 2: t2 = t1 + 1, dp = 0, dpp = 1 — up shift_right, left/diag id
         t2 = t1 + 1
         R = sr6(S)
@@ -411,18 +446,19 @@ def _sweep_v3(
             j = t2 - i
             return (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
 
-        Hn, I1n, D1n, I2n, D2n, p2 = compute_row(t2, i0, deps, sub, valid2)
+        Hn, I1n, D1n, I2n, D2n, p2, Hdiag = compute_row(t2, i0, deps, sub, valid2)
         FIN = jnp.where((t2 == fin_t)[:, None], Hn, FIN)
         Sn = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        snaps = snap_update(snaps, t2, Sn, Hdiag)
         ys = (
             jnp.stack([p1, p2]) if with_traceback else jnp.zeros((2, B, 0), jnp.uint8)
         )
-        return (Sn, FIN), ys
+        return (Sn, FIN, snaps), ys
 
     if M > 0:
         ms = jnp.arange(M, dtype=jnp.int32)
         carry, tb_b = jax.lax.scan(body_b, carry, ms, unroll=max(unroll // 2, 1))
-    S, FIN = carry
+    S, FIN, snaps_out = carry
 
     # extract per-pair final-lane score (one masked reduce, outside the loop)
     i0_fin = jnp.maximum((fin_t - K + 1) // 2, 0)
@@ -434,12 +470,16 @@ def _sweep_v3(
     scores = jnp.where(finished, fin_val, -1)
 
     if not with_traceback:
+        if fold:
+            return scores, None, snaps_out, T_total
         return scores, None, T_total
 
     parts = [jnp.zeros((1, B, W), jnp.uint8), tb_a]
     if M > 0:
         parts.append(tb_b.reshape(2 * M, B, W))
     tb = jnp.concatenate(parts, axis=0)  # [T_total + 1, B, W]
+    if fold:
+        return scores, tb, snaps_out, T_total
     return scores, tb, T_total
 
 
@@ -1052,9 +1092,16 @@ def nw_align_long(
     return scores, items
 
 
-def _tb_scan_tbw(tb, qlens, tlens, *, band: int, t_total: int, unroll: int = 4):
+def _tb_scan_tbw(
+    tb, qlens, tlens, *, band: int, t_total: int, unroll: int = 4, start=None
+):
     """Reverse opcode scan over a [t, B, W]-layout traceback (row slice =
-    one static-shape dynamic_slice on axis 0; no transpose materialized)."""
+    one static-shape dynamic_slice on axis 0; no transpose materialized).
+
+    start (optional (cur_t0, l0, mat0) [B]-arrays): per-row walk start for
+    the bidirectional fold — anti-diagonal, lane, and material
+    (0 H, 1 D1, 2 I1, 3 D2, 4 I2).  Default walks every row from its final
+    cell (qlen + tlen, final lane, H)."""
     B = tb.shape[1]
     W = band + 1
     K = band
@@ -1065,10 +1112,13 @@ def _tb_scan_tbw(tb, qlens, tlens, *, band: int, t_total: int, unroll: int = 4):
     def i0_of(t):
         return jnp.maximum((t - K + 1) // 2, 0)
 
-    cur_t0 = qlens + tlens
-    l0 = qlens - i0_of(cur_t0)
-    mat0 = jnp.zeros(B, jnp.int32)  # 0 H, 1 D1, 2 I1, 3 D2, 4 I2
-    done0 = cur_t0 == 0
+    if start is None:
+        cur_t0 = qlens + tlens
+        l0 = qlens - i0_of(cur_t0)
+        mat0 = jnp.zeros(B, jnp.int32)  # 0 H, 1 D1, 2 I1, 3 D2, 4 I2
+    else:
+        cur_t0, l0, mat0 = (a.astype(jnp.int32) for a in start)
+    done0 = cur_t0 <= 0
 
     def body(state, td):
         cur_t, l, mat, done = state
@@ -1157,6 +1207,227 @@ def nw_align_with_opcodes(
     )
     ops = _tb_scan_tbw(tb, qlens, tlens, band=band, t_total=t_total, unroll=tb_unroll)
     return scores, pack_opcodes(ops)
+
+
+# -----------------------------------------------------------------------------
+# Bidirectional fold: meet-in-the-middle halves the serial step count
+# -----------------------------------------------------------------------------
+# The anti-diagonal sweep and the reverse walk are serial scans of
+# qlen + tlen steps each, and the measured per-step cost on TPU is dominated
+# by fixed per-fused-region sequencing overhead (docs/ROUND2_NOTES.md) — so
+# halving the trip count halves the latency-bound wall clock.  The fold runs
+# each pair as TWO batch rows of the SAME sweep: (q, t) forward and
+# (reverse(q), reverse(t)) backward, each to the pair's middle
+# anti-diagonal (tm = ceil(fin/2) forward, tmb = fin - tm backward, where a
+# backward cell (i', j') is the forward cell (qlen - i', tlen - j') and
+# backward anti-diagonal t' = fin - t).  Batch doubles — free in the
+# flat-in-B regime — and trip count halves.
+#
+# The halves join by enumerating every edge that crosses the seam between
+# forward region {t <= tm} and backward region {t >= tm + 1} (Myers-Miller
+# adapted to an anti-diagonal seam, two-piece affine):
+#
+#   gap edge (I/D) from u at tm:    the backward sweep's gap LAYER at u
+#     already prices the crossing edge + state-aware suffix, so
+#       total_G(u) = min(Hf(u), Gf(u) - o_G) + Gb_layer(u)
+#     (the -o_G branch credits the run-open paid on both sides of a
+#     seam-spanning run);
+#   M edge from u at tm-1 -> tm+1:  priced by the backward M-arrival
+#     candidate (h_diag + sub) captured at t' = tmb + 1:
+#       total_M2(u) = Hf(u @ tm-1) + HbM(u);
+#   M edge from u at tm -> tm+2:    same candidate captured at t' = tmb:
+#       total_M3(u) = Hf(u @ tm) + HbM(u).
+#
+# Every path crosses the seam via exactly one such edge and every term is a
+# realizable path cost, so the min over lanes x terms is the exact banded
+# optimum.  Lane alignment between the halves (a per-pair reversal + shift)
+# is a masked broadcast-reduce over iota equality — the documented TPU
+# workaround for per-pair gathers — costing O(B*W^2) VPU ops once per
+# dispatch, not per step.
+#
+# Banding: each half bands |i - j| <= K in ITS OWN coordinates, so the
+# backward band in forward coordinates is centered on i - j = qlen - tlen.
+# Callers must widen the kernel band to K + |qlen - tlen| so the fold
+# region covers the full certified-K band (|i-j| <= K implies
+# |i - j - diff| <= K + |diff|); the runner's band-escalation certificate
+# then applies unchanged at K.
+#
+# Traceback: both half-walks run as one parameterized reverse scan over the
+# same [t, 2B, W] traceback (forward rows walk from the crossing cell in
+# the chosen layer; backward rows from the crossing cell / the M-landing
+# cell).  The host merges fwd-ops ++ [M if the crossing edge is an M] ++
+# reverse(bwd-ops) (merge_fold_ops) and decodes as usual.  Co-optimal
+# CIGARs may differ from the single sweep in tie cases, which the pipeline
+# permits (same policy as the row-major kernel).
+
+# fold term order = tie priority: M (E2, E3), then D1, I1, D2, I2 —
+# mirroring the single-sweep walk's DIAG > D1 > I1 > D2 > I2 preference.
+_FOLD_E2, _FOLD_E3, _FOLD_D1, _FOLD_I1, _FOLD_D2, _FOLD_I2 = range(6)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mismatch", "o1", "e1", "o2", "e2", "band", "tmax_half", "use_int16",
+        "unroll", "tb_unroll",
+    ),
+)
+def nw_align_fold(
+    Qf, Tf, Qr, Tr, qlens, tlens, *, mismatch, o1, e1, o2, e2, band,
+    tmax_half, use_int16=False, unroll=4, tb_unroll=4,
+):
+    """Bidirectional-fold banded Gotoh: half the serial steps of
+    nw_align_with_opcodes (see the block comment above).
+
+    Qf/Tf [B, L]: base codes padded with QPAD/TPAD; Qr/Tr: the same rows
+    with their first qlen/tlen entries REVERSED (not complemented), same
+    padding.  tmax_half: static trip count >= max(qlen + tlen) // 2 + 1.
+    band: half-width; must already include the +|qlen - tlen| fold widening.
+    Sequences must be non-empty (all-zero dummy rows are fine and report
+    score 0 with empty opcodes).
+
+    Returns (scores [B] int32, packed opcodes [2B, ceil((T+1)/4)] — rows b
+    and B+b are the pair's forward and backward half-walks — and
+    cross_m [B] bool: whether an M crossing op must be inserted between the
+    halves; merge with merge_fold_ops)."""
+    B = Qf.shape[0]
+    K = band
+    W = K + 1
+    two = o2 >= 0
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+    fin = qlens + tlens
+    tm = (fin + 1) // 2
+    tmb = fin - tm
+
+    Q2 = jnp.concatenate([Qf, Qr])
+    T2 = jnp.concatenate([Tf, Tr])
+    qlens2 = jnp.concatenate([qlens, qlens])
+    tlens2 = jnp.concatenate([tlens, tlens])
+    t_snap = jnp.concatenate([tm, tmb])
+
+    _, tb, (SNAP, DIAGA, DIAGB), t_total = _sweep_v3(
+        Q2, T2, qlens2, tlens2,
+        mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2,
+        band=band, tmax=tmax_half, with_traceback=True,
+        dtype=jnp.int16 if use_int16 else jnp.int32,
+        unroll=unroll, t_snap=t_snap,
+    )
+
+    # --- combine (int32 throughout: int16 halves can sum past 2^15) -------
+    Sf = SNAP[:, :B].astype(jnp.int32)      # fwd: H(tm), H(tm-1), I1, D1, I2, D2
+    Gb = SNAP[2:, B:].astype(jnp.int32)     # bwd gap layers at tmb: I1, D1, I2, D2
+    DA = DIAGA[B:].astype(jnp.int32)        # bwd M-arrival candidate at tmb
+    DB = DIAGB[B:].astype(jnp.int32)        # ... at tmb + 1
+
+    def i0_of(t):
+        return jnp.maximum((t - K + 1) // 2, 0)
+
+    i0_tm = i0_of(tm)
+    i0_tm1 = i0_of(tm - 1)
+    i0_b = i0_of(tmb)
+    i0_b1 = i0_of(tmb + 1)
+    # bwd lane for the fwd cell at lane lf: lb = sh - lf
+    sh1 = qlens - i0_tm - i0_b      # arrays at t' = tmb, onto the tm frame
+    sh2 = qlens - i0_tm1 - i0_b1    # DIAGB at t' = tmb+1, onto the tm-1 frame
+
+    lf = jnp.arange(W, dtype=jnp.int32)
+    lw = jnp.arange(W, dtype=jnp.int32)
+
+    def align_bwd(Y, sh):
+        """Y [C, B, W] in a backward lane frame -> [C, B, W] on the forward
+        frame: out[c, b, l] = Y[c, b, sh[b] - l], INF where out of range."""
+        cond = (lf[None, :, None] + lw[None, None, :]) == sh[:, None, None]
+        out = jnp.sum(jnp.where(cond[None], Y[:, :, None, :], 0), axis=-1)
+        lb = sh[:, None] - lf[None, :]
+        in_range = (lb >= 0) & (lb < W)
+        return jnp.where(in_range[None], out, INF)
+
+    A1 = align_bwd(jnp.concatenate([Gb, DA[None]]), sh1)  # I1b,D1b,I2b,D2b,DA
+    A2 = align_bwd(DB[None], sh2)[0]
+
+    BIG = jnp.int32(2 * INF)
+    terms = [
+        Sf[1] + A2,                                   # E2: M from tm-1
+        Sf[0] + A1[4],                                # E3: M from tm
+        jnp.minimum(Sf[0], Sf[3] - o1) + A1[1],       # D1 crossing
+        jnp.minimum(Sf[0], Sf[2] - o1) + A1[0],       # I1 crossing
+        (jnp.minimum(Sf[0], Sf[5] - o2) + A1[3]) if two else jnp.full((B, W), BIG),
+        (jnp.minimum(Sf[0], Sf[4] - o2) + A1[2]) if two else jnp.full((B, W), BIG),
+    ]
+    tv = jnp.stack(terms)                              # [6, B, W]
+    lane_best = jnp.argmin(tv, axis=2).astype(jnp.int32)   # [6, B]
+    val_best = jnp.min(tv, axis=2)                     # [6, B]
+    term = jnp.argmin(val_best, axis=0).astype(jnp.int32)  # [B]
+    total = jnp.min(val_best, axis=0)                  # [B]
+
+    lane = jnp.sum(
+        jnp.where(jnp.arange(6)[:, None] == term[None, :], lane_best, 0), axis=0
+    )                                                  # [B] lane of chosen term
+    finished = total < INF
+    scores = jnp.where(fin == 0, 0, jnp.where(finished, total, -1))
+
+    # --- walk starts -------------------------------------------------------
+    def at_lane(X):
+        return jnp.sum(jnp.where(lf[None, :] == lane[:, None], X, 0), axis=1)
+
+    h_u = at_lane(Sf[0])
+    gap_vals = jnp.stack([at_lane(Sf[3]) - o1, at_lane(Sf[2]) - o1,
+                          at_lane(Sf[5]) - o2, at_lane(Sf[4]) - o2])  # D1,I1,D2,I2
+    # walk material codes: 0 H, 1 D1, 2 I1, 3 D2, 4 I2
+    gap_code = jnp.array([1, 2, 3, 4], jnp.int32)
+    is_e1 = term >= 2
+    g_idx = jnp.clip(term - 2, 0, 3)
+    g_val = jnp.sum(
+        jnp.where(jnp.arange(4)[:, None] == g_idx[None, :], gap_vals, 0), axis=0
+    )
+    g_code = gap_code[g_idx]
+    fwd_mat = jnp.where(is_e1 & (g_val < h_u), g_code, 0)
+    fwd_t0 = jnp.where(term == _FOLD_E2, tm - 1, tm)
+    fwd_l0 = lane
+
+    i_u = jnp.where(term == _FOLD_E2, i0_tm1, i0_tm) + lane
+    ip_u = qlens - i_u
+    bwd_t0 = jnp.where(
+        is_e1, tmb, jnp.where(term == _FOLD_E2, tmb - 1, tmb - 2)
+    )
+    bwd_l0 = jnp.where(
+        is_e1, ip_u - i0_b, (ip_u - 1) - i0_of(jnp.maximum(bwd_t0, 0))
+    )
+    bwd_mat = jnp.where(is_e1, g_code, 0)
+    cross_m = (~is_e1) & finished & (fin > 0)
+
+    # inert starts for unfinished / dummy rows (ops discarded by callers)
+    live = finished & (fin > 0)
+    fwd_t0 = jnp.where(live, fwd_t0, 0)
+    bwd_t0 = jnp.where(live, jnp.maximum(bwd_t0, 0), 0)
+    fwd_l0 = jnp.clip(fwd_l0, 0, W - 1)
+    bwd_l0 = jnp.clip(bwd_l0, 0, W - 1)
+
+    cur_t0 = jnp.concatenate([fwd_t0, bwd_t0])
+    l0 = jnp.concatenate([fwd_l0, bwd_l0])
+    mat0 = jnp.concatenate([fwd_mat, bwd_mat])
+    ops = _tb_scan_tbw(
+        tb, qlens2, tlens2, band=band, t_total=t_total, unroll=tb_unroll,
+        start=(cur_t0, l0, mat0),
+    )
+    return scores, pack_opcodes(ops), cross_m
+
+
+def merge_fold_ops(ops2: np.ndarray, cross_m: np.ndarray) -> np.ndarray:
+    """Host merge of fold half-walk opcode rows: [2B, L] -> [B, 2L + 1].
+
+    Row b's merged stream is fwd-ops ++ [OP_M if cross_m[b]] ++
+    reverse(bwd-ops).  Positions carry no meaning downstream (decode_batch
+    drops OP_NONE), only order does."""
+    ops2 = np.asarray(ops2)
+    B2, L = ops2.shape
+    B = B2 // 2
+    out = np.zeros((B, 2 * L + 1), np.uint8)
+    out[:, :L] = ops2[:B]
+    out[:, L] = np.where(np.asarray(cross_m), OP_M, OP_NONE).astype(np.uint8)
+    out[:, L + 1 :] = ops2[B:, ::-1]
+    return out
 
 
 # -----------------------------------------------------------------------------

@@ -595,3 +595,158 @@ def test_decode_batch_empty_rows():
     assert batch[0] == [(2, "="), (1, "I"), (1, "D")]
     assert batch[1] == []
     assert batch[2] == [(1, "D"), (2, "=")]
+
+
+# -----------------------------------------------------------------------------
+# Bidirectional fold (nw_align_fold)
+# -----------------------------------------------------------------------------
+
+
+def run_fold(pairs, kw, band, use_int16=False):
+    qs = [encode_bases(q) for q, _ in pairs]
+    ts = [encode_bases(t) for _, t in pairs]
+    B = len(pairs)
+    lq = max(q.size for q in qs)
+    lt = max(t.size for t in ts)
+    Qf = np.full((B, lq), nw.QPAD, np.uint8)
+    Tf = np.full((B, lt), nw.TPAD, np.uint8)
+    Qr = np.full((B, lq), nw.QPAD, np.uint8)
+    Tr = np.full((B, lt), nw.TPAD, np.uint8)
+    qlens = np.zeros(B, np.int32)
+    tlens = np.zeros(B, np.int32)
+    for b, (q, t) in enumerate(zip(qs, ts)):
+        Qf[b, : q.size] = q
+        Tf[b, : t.size] = t
+        Qr[b, : q.size] = q[::-1]
+        Tr[b, : t.size] = t[::-1]
+        qlens[b] = q.size
+        tlens[b] = t.size
+    tmax = int((qlens + tlens).max())
+    s_ref, _ = nw.nw_align_with_opcodes(
+        Qf, Tf, qlens, tlens, band=band, tmax=tmax, use_int16=use_int16, **kw
+    )
+    s_fold, packed2, cross_m = nw.nw_align_fold(
+        Qf, Tf, Qr, Tr, qlens, tlens, band=band, tmax_half=tmax // 2 + 2,
+        use_int16=use_int16, **kw,
+    )
+    ops2 = nw.unpack_opcodes(np.asarray(packed2), np.asarray(packed2).shape[1] * 4)
+    merged = nw.merge_fold_ops(ops2, np.asarray(cross_m))
+    items = nw.decode_batch(merged, qs, ts)
+    return np.asarray(s_ref), np.asarray(s_fold), items
+
+
+def assert_fold_matches(pairs, kw, band, use_int16=False):
+    s_ref, s_fold, items_all = run_fold(pairs, kw, band, use_int16)
+    assert (s_fold == s_ref).all(), (s_ref, s_fold)
+    pen = Penalties(
+        kw["mismatch"], kw["o1"], kw["e1"],
+        kw["o2"] if kw["o2"] >= 0 else None,
+        kw["e2"] if kw["e2"] >= 0 else None,
+    )
+    for b, (q, t) in enumerate(pairs):
+        check_cigar(items_all[b], q, t)
+        assert cigar_score(items_all[b], pen) == s_fold[b], b
+
+
+KW2 = dict(mismatch=5, o1=8, e1=2, o2=24, e2=1)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fold_random_battery(seed):
+    """Fold scores equal the single sweep on randomized SNP/indel pairs of
+    mixed lengths, and the merged half-walk CIGARs are valid with cost ==
+    score (both fin parities, gap runs, tiny pairs)."""
+    rng = np.random.default_rng(900 + seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pairs = []
+    for k in range(16):
+        n1 = int(rng.integers(4, 400))
+        q = bases[rng.integers(0, 4, size=n1)].tobytes()
+        s = bytearray(q)
+        for pos in rng.integers(0, max(1, len(s)), size=int(rng.integers(0, 12))):
+            s[pos % len(s)] = bases[rng.integers(0, 4)]
+        if k % 2:
+            cut = int(rng.integers(0, max(1, len(s) // 2)))
+            del s[cut : cut + int(rng.integers(0, 60))]
+        if k % 3 == 0:
+            cut = int(rng.integers(0, max(1, len(s))))
+            s[cut:cut] = bases[rng.integers(0, 4, size=int(rng.integers(0, 80)))].tobytes()
+        if not s:
+            s = bytearray(b"A")
+        pairs.append((q, bytes(s)))
+    pairs += [(b"ACGT", b"ACGT"), (b"A", b"T"), (b"AC", b"A"), (b"A", b"A")]
+    assert_fold_matches(pairs, KW2, band=200)
+
+
+def test_fold_seam_inside_gap_run():
+    """A 200 bp indel spanning the meet anti-diagonal exercises the
+    run-open double-payment correction on every crossing family."""
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    A = bases[rng.integers(0, 4, size=100)].tobytes()
+    Bseg = bases[rng.integers(0, 4, size=100)].tobytes()
+    ins = bases[rng.integers(0, 4, size=200)].tobytes()
+    pairs = [
+        (A + ins + Bseg, A + Bseg),
+        (A + Bseg, A + ins + Bseg),
+        (A + ins, A),
+        (ins + Bseg, Bseg),
+    ]
+    assert_fold_matches(pairs, KW2, band=260)
+    # single-piece affine and the 0,1,1,1 orientation-probe scoring
+    assert_fold_matches(pairs, dict(mismatch=5, o1=6, e1=2, o2=-1, e2=-1), band=260)
+    assert_fold_matches(pairs, dict(mismatch=1, o1=0, e1=1, o2=-1, e2=-1), band=260)
+
+
+def test_fold_int16():
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=250)].tobytes()
+    alt = bytearray(base)
+    for pos in rng.integers(0, len(alt), size=8):
+        alt[pos] = bases[rng.integers(0, 4)]
+    del alt[60:75]
+    assert_fold_matches([(base, bytes(alt)), (base, base)], KW2, band=128,
+                        use_int16=True)
+
+
+def test_runner_fold_matches_single_sweep():
+    """End-to-end runner parity: fold on vs off produces identical scores
+    and consuming CIGARs for every pair (orientation + escalation paths)."""
+    from seqrush_tpu.align.pairs import all_ordered_pairs
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(5150)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=700)]
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    seqs = [("s0", base.tobytes())]
+    for k in range(1, 5):
+        s = bytearray(base.tobytes())
+        for pos in rng.integers(0, len(s), size=14):
+            s[pos] = bases[rng.integers(0, 4)]
+        if k == 2:
+            del s[200:320]  # indel >> band_slack: exercises escalation
+        if k == 3:
+            s = bytearray(bytes(s).translate(comp)[::-1])  # RC orientation
+        seqs.append((f"s{k}", bytes(s)))
+    ss = make_sequence_set(seqs)
+    pairs = all_ordered_pairs(len(seqs))
+    sc = AlignmentScores.parse("0,5,8,2,24,1")
+    res = {}
+    for fold in (True, False):
+        al = WfaAligner(ss, RunnerConfig(scores=sc, fold=fold))
+        out = al.align_pairs(pairs)
+        assert len(out) == len(pairs)
+        res[fold] = {(r.query_idx, r.target_idx): r for r in out}
+    for key, r_on in res[True].items():
+        r_off = res[False][key]
+        assert r_on.score == r_off.score, key
+        assert r_on.is_reverse == r_off.is_reverse, key
+        for r in (r_on, r_off):
+            qlen = len(ss.sequences[r.query_idx].data)
+            tlen = len(ss.sequences[r.target_idx].data)
+            assert sum(n for n, op in r.cigar if op in "=XI") == qlen, key
+            assert sum(n for n, op in r.cigar if op in "=XD") == tlen, key
