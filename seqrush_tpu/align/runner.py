@@ -167,6 +167,11 @@ class WfaAligner:
             "cells_padded": 0,  # B_padded * rows * W summed over dispatches
             "cells_true": 0,  # (qlen+tlen+1) * W summed over aligned jobs
             "gap_overflows": 0,  # row-major walks overflowing nw.GAP_MAX
+            # host-side phase timers (seconds; overlap-aware only in that
+            # collect time includes the device wait for the oldest chunk)
+            "orient_s": 0.0,
+            "dispatch_s": 0.0,
+            "collect_s": 0.0,
         }
         self._pallas_ok: bool | None = None
         # (pair_idx, rc) jobs forced onto the anti-diagonal kernel (their
@@ -266,16 +271,18 @@ class WfaAligner:
         analog).  Bucketed count-vector cosine was retired here: its
         collision floor underestimated divergence ~5x at 3 kb, mis-sizing
         every initial band.  The same estimate sizes the alignment band."""
-        from ..ops.kmer import mash_distance, mash_sketches
+        from ..ops.kmer import mash_distance_batch, mash_sketches
 
+        t0 = time.time()
         if not hasattr(self, "_mh_fwd"):
             self._mh_fwd = mash_sketches(self.codes)
             self._mh_rc = mash_sketches(self.rc_codes)
-        d_fwd = np.ones(len(pairs))
-        d_rc = np.ones(len(pairs))
-        for p, (i, j) in enumerate(pairs):
-            d_fwd[p] = mash_distance(self._mh_fwd[i], self._mh_fwd[j])
-            d_rc[p] = mash_distance(self._mh_rc[i], self._mh_fwd[j])
+        n = len(self.codes)
+        sketches = self._mh_fwd + self._mh_rc  # rc sketch of seq i at n + i
+        pa = np.asarray(pairs)
+        d_fwd = mash_distance_batch(sketches, pa[:, 0], pa[:, 1])
+        d_rc = mash_distance_batch(sketches, pa[:, 0] + n, pa[:, 1])
+        self.stats["orient_s"] += time.time() - t0
         return d_fwd, d_rc
 
     # -- full alignment ------------------------------------------------------
@@ -431,14 +438,20 @@ class WfaAligner:
             # host decode of chunk k
             inflight = None
             for chunk in chunks:
+                t0 = time.time()
                 dispatched = self._dispatch_nw_chunk(chunk, pen, pairs)
+                self.stats["dispatch_s"] += time.time() - t0
                 if inflight is not None:
+                    t0 = time.time()
                     done, retries = self._collect_nw_chunk(*inflight, pairs)
+                    self.stats["collect_s"] += time.time() - t0
                     attempts.update(done)
                     retries_scored.extend(retries)
                 inflight = dispatched
             if inflight is not None:
+                t0 = time.time()
                 done, retries = self._collect_nw_chunk(*inflight, pairs)
+                self.stats["collect_s"] += time.time() - t0
                 attempts.update(done)
                 retries_scored.extend(retries)
             queue = self._prune_orientation_losers(attempts, retries_scored)

@@ -81,6 +81,55 @@ def mash_distance(a: np.ndarray, b: np.ndarray, k: int = 15, sketch_size: int = 
     return min(max(-np.log(2.0 * j / (1.0 + j)) / k, 0.0), 1.0)
 
 
+def mash_distance_batch(
+    sketches: list[np.ndarray],
+    ia: np.ndarray,
+    ib: np.ndarray,
+    k: int = 15,
+    sketch_size: int = 512,
+) -> np.ndarray:
+    """Vectorized mash_distance over a pair list: d[p] = distance between
+    sketches[ia[p]] and sketches[ib[p]].
+
+    Same bottom-k merge estimator as mash_distance (asserted by tests), but
+    computed for ALL pairs at once: the two sorted sketches of every pair
+    are padded into one [P, 2s] matrix, merged with a single axis-1 sort,
+    and |A cap B within bottom-s(A cup B)| falls out of adjacent-duplicate
+    marks + a distinct-rank cumsum.  Replaces ~70 us/pair of per-pair
+    union1d/intersect1d with ~3 batched array passes — the orientation
+    phase stops being a serial host tax on every runner batch."""
+    ia = np.asarray(ia, dtype=np.int64)
+    ib = np.asarray(ib, dtype=np.int64)
+    P = ia.size
+    if P == 0:
+        return np.zeros(0)
+    smax = max(max((s.size for s in sketches), default=1), 1)
+    PAD = np.uint64(0xFFFFFFFFFFFFFFFF)  # sketch hashes are < 2^32
+    SK = np.full((len(sketches), smax), PAD, np.uint64)
+    for s_i, s in enumerate(sketches):
+        SK[s_i, : s.size] = s
+    sizes = np.array([s.size for s in sketches], dtype=np.int64)
+
+    out = np.empty(P)
+    BLOCK = 8192
+    for lo in range(0, P, BLOCK):
+        a = ia[lo : lo + BLOCK]
+        b = ib[lo : lo + BLOCK]
+        merged = np.sort(np.concatenate([SK[a], SK[b]], axis=1), axis=1)
+        valid = merged != PAD
+        dup = (merged[:, 1:] == merged[:, :-1]) & valid[:, 1:]
+        first = np.concatenate([valid[:, :1], ~dup & valid[:, 1:]], axis=1)
+        rank = np.cumsum(first, axis=1)  # distinct union rank, 1-based
+        shared = (dup & (rank[:, :-1] <= sketch_size)).sum(axis=1)
+        usize = np.minimum(rank[:, -1], sketch_size)
+        j = shared / np.maximum(usize, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.clip(-np.log(2.0 * j / (1.0 + j)) / k, 0.0, 1.0)
+        out[lo : lo + BLOCK] = np.where(j <= 0.0, 1.0, d)
+    empty = (sizes[ia] == 0) | (sizes[ib] == 0)
+    return np.where(empty, 1.0, out)
+
+
 @jax.jit
 def _cosine_distance_matrix(sketches: jnp.ndarray) -> jnp.ndarray:
     sim = jnp.dot(sketches, sketches.T, preferred_element_type=jnp.float32)

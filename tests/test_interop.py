@@ -254,3 +254,37 @@ def test_paf_standard_strand_convention(tmp_path):
     sr3 = SeqRushTPU(make_sequence_set(seqs_named), Args(paf=str(paf2), output="/dev/null"))
     sr3.align_and_unite()
     assert sr3.count_components() == 100
+
+
+def test_mash_distance_batch_matches_per_pair():
+    """The vectorized sort-merge mash estimator equals the per-pair
+    union1d/intersect1d reference on random sketches, including empty and
+    truncated sketches and the identical-sequence case."""
+    import numpy as np
+
+    from seqrush_tpu.ops.kmer import (
+        mash_distance,
+        mash_distance_batch,
+        mash_sketches,
+    )
+    from seqrush_tpu.pos import encode_bases
+
+    rng = np.random.default_rng(123)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = []
+    base = bases[rng.integers(0, 4, size=900)].tobytes()
+    for k in range(6):
+        s = bytearray(base)
+        for pos in rng.integers(0, len(s), size=5 * k):
+            s[pos] = bases[rng.integers(0, 4)]
+        seqs.append(encode_bases(np.frombuffer(bytes(s), np.uint8)))
+    seqs.append(encode_bases(np.frombuffer(base, np.uint8)))  # identical to 0
+    sk = mash_sketches(seqs)
+    sk.append(np.zeros(0, np.uint64))  # empty sketch
+    sk.append(sk[0][:9])  # tiny truncated sketch
+    n = len(sk)
+    ia, ib = np.meshgrid(np.arange(n), np.arange(n))
+    ia, ib = ia.ravel(), ib.ravel()
+    batch = mash_distance_batch(sk, ia, ib)
+    ref = np.array([mash_distance(sk[i], sk[j]) for i, j in zip(ia, ib)])
+    assert np.allclose(batch, ref)
