@@ -109,18 +109,18 @@ class RunnerConfig:
     sweep: str = "antidiag"
     # bidirectional fold: run each pair as forward + backward batch rows
     # meeting at the middle anti-diagonal (ops/nw.py nw_align_fold) — half
-    # the serial steps for 2x the batch rows, a ~2x win in the
-    # latency-bound regime where per-step cost is flat in B.  Exact (same
-    # scores as the single sweep; fold tests assert parity); the kernel
-    # band widens by the chunk's max |qlen - tlen| so the certified-K
-    # region stays covered.  Applies to the antidiag sweep on the standard
-    # paths; mesh / pallas / segmented-long dispatches use the single
-    # sweep.  'auto' (default) folds only chunks whose padded batch is
-    # <= fold_max_batch: the fold's snapshot carry doubles per-step state
-    # traffic, free while the scan is latency-bound (flat in B) but a real
-    # cost in the big-batch bandwidth-bound regime where halving the trip
-    # count is already neutral.
-    fold: bool | str = "auto"
+    # the serial steps for 2x the batch rows.  Exact (same scores as the
+    # single sweep; fold tests assert parity); the kernel band widens by
+    # the chunk's max |qlen - tlen| so the certified-K region stays
+    # covered.  **Negative result on XLA-TPU** (docs/PROFILE_TPU_FOLD.json,
+    # same fate as the v4 row kernel): the per-row snapshot captures add
+    # fused regions to the scan body, and with per-step cost dominated by
+    # per-region sequencing overhead that costs MORE than halving the trip
+    # count saves (b72: 378 vs 510 pairs/s; forced-fold 128-pair chunks:
+    # 850 vs 1167).  Default off; 'auto' folds chunks whose padded batch
+    # is <= fold_max_batch, True folds everything — the right shape for a
+    # backend where the captures are free stores (Pallas, GPU).
+    fold: bool | str = False
     fold_max_batch: int = 128
 
 
@@ -394,14 +394,17 @@ class WfaAligner:
     @staticmethod
     def _quantize_batch(n: int) -> int:
         """Smallest ladder value >= n: multiples of 8 up to 64 (tight
-        padding where chunks are small), then x1.5 geometric steps
-        (96, 128, 192, ...) to keep compiled batch shapes logarithmic."""
+        padding where chunks are small), x1.5 geometric steps to 256
+        (96, 144, 216, 256), then multiples of 64.  Above 256 the sweep is
+        no longer flat in B (bandwidth-bound regime), so padding waste is
+        real compute — 64-quanta cap it at <= 10% while keeping the
+        compiled-shape count bounded."""
         if n <= 64:
             return max(((n + 7) // 8) * 8, 8)
-        b = 64
-        while b < n:
-            b = b * 2 if b & (b - 1) else b * 3 // 2
-        return b
+        for b in (96, 144, 216, 256):
+            if n <= b:
+                return b
+        return _round_up(n, 64)
 
     def _align_pairs_nw(self, pairs, pen) -> list[AlignmentResult]:
         is_rev, undecided, d_est = self._orient_and_estimate(pairs)
@@ -440,6 +443,7 @@ class WfaAligner:
             for chunk in chunks:
                 t0 = time.time()
                 dispatched = self._dispatch_nw_chunk(chunk, pen, pairs)
+                self._start_fetch(dispatched)
                 self.stats["dispatch_s"] += time.time() - t0
                 if inflight is not None:
                     t0 = time.time()
@@ -793,6 +797,24 @@ class WfaAligner:
             return chunk, scores, ("ops", opcodes), qlens, tlens, band, use_int16
         scores, tb = nw.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
         return chunk, scores, ("tb", tb), qlens, tlens, band, False
+
+    @staticmethod
+    def _start_fetch(dispatched):
+        """Begin async device->host copies of a dispatched chunk's outputs
+        so the transfer overlaps the NEXT chunk's device compute (and the
+        host decode of the previous one) instead of serializing inside
+        collect's np.asarray."""
+        _chunk, scores, (_mode, data), *_rest = dispatched
+        arrays = [scores]
+        for a in data if isinstance(data, tuple) else (data,):
+            arrays.append(a)
+        for a in arrays:
+            fn = getattr(a, "copy_to_host_async", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:
+                    pass
 
     def _collect_nw_chunk(
         self, chunk, scores, payload, qlens, tlens, band, used_int16, pairs
