@@ -122,6 +122,13 @@ class RunnerConfig:
     # backend where the captures are free stores (Pallas, GPU).
     fold: bool | str = False
     fold_max_batch: int = 128
+    # traceback emission on the fused device path: 'runs' fetches run-length
+    # (op, len) tokens ([B, nw.RUN_MAX] int32, ~6x smaller than packed
+    # opcodes over the slow host link) and decodes at run granularity;
+    # 'ops' fetches 2-bit packed per-step opcodes; 'auto' uses runs whenever
+    # the program fits the token format (tmax < ~32k; pairs whose walk
+    # overflows RUN_MAX runs retry via opcodes automatically)
+    emit: str = "auto"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -167,6 +174,7 @@ class WfaAligner:
             "cells_padded": 0,  # B_padded * rows * W summed over dispatches
             "cells_true": 0,  # (qlen+tlen+1) * W summed over aligned jobs
             "gap_overflows": 0,  # row-major walks overflowing nw.GAP_MAX
+            "run_overflows": 0,  # runs-emission walks overflowing nw.RUN_MAX
             # host-side phase timers (seconds; overlap-aware only in that
             # collect time includes the device wait for the oldest chunk)
             "orient_s": 0.0,
@@ -177,6 +185,9 @@ class WfaAligner:
         # (pair_idx, rc) jobs forced onto the anti-diagonal kernel (their
         # row-major gap list overflowed nw.GAP_MAX)
         self._v3_set: set[tuple[int, bool]] = set()
+        # (pair_idx, rc) jobs forced onto the opcode emission (their walk
+        # produced more than nw.RUN_MAX runs)
+        self._runs_off_set: set[tuple[int, bool]] = set()
 
     # -- orientation ---------------------------------------------------------
 
@@ -517,8 +528,9 @@ class WfaAligner:
             q = self.rc_codes[qi] if rc else self.codes[qi]
             t = self.codes[tj]
             v3 = (p, rc) in self._v3_set
-            entries.append((force32, v3, band, q.size + t.size, p, rc, q, t))
-        entries.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+            roff = (p, rc) in self._runs_off_set
+            entries.append((force32, v3, roff, band, q.size + t.size, p, rc, q, t))
+        entries.sort(key=lambda e: (e[0], e[1], e[2], e[3], e[4]))
 
         chunks = []
         i = 0
@@ -526,12 +538,13 @@ class WfaAligner:
             chunk = []
             band = 0
             while i < len(entries):
-                f32, v3, bandj, _ln, p, rc, q, t = entries[i]
+                f32, v3, roff, bandj, _ln, p, rc, q, t = entries[i]
                 if chunk and (
                     f32 != chunk[0][3]
                     or v3 != ((chunk[0][0], chunk[0][1]) in self._v3_set)
+                    or roff != ((chunk[0][0], chunk[0][1]) in self._runs_off_set)
                 ):
-                    break  # dtype / kernel impl are static args: no mixing
+                    break  # dtype / kernel impl / emission are static: no mixing
                 trial_band = max(band, bandj)
                 trial_tmax = _round_up(q.size + t.size, 512)
                 B_pad = self._quantize_batch(len(chunk) + 1)
@@ -591,6 +604,20 @@ class WfaAligner:
             return False
         p, rc = chunk[0][0], chunk[0][1]
         return (p, rc) not in self._v3_set
+
+    def _use_runs(self, chunk, tmax: int) -> bool:
+        """Run-length emission for this chunk?  Chunks are homogeneous in
+        runs-overflow membership (_make_nw_chunks segregates them)."""
+        from ..ops import nw
+
+        if self.cfg.emit == "ops":
+            return False
+        if tmax + 4 >= 1 << 15:  # token position field (t_total <= tmax + 1)
+            if self.cfg.emit == "runs":
+                raise ValueError("emit='runs' requires tmax < 32k; use 'auto'")
+            return False
+        p, rc = chunk[0][0], chunk[0][1]
+        return (p, rc) not in self._runs_off_set
 
     def _use_pallas(self) -> bool:
         if self._pallas_ok is not None:
@@ -709,6 +736,15 @@ class WfaAligner:
                 return (
                     chunk, scores, ("fold", (packed2, cross_m)),
                     qlens, tlens, band_eff, use_int16,
+                )
+            if self._use_runs(chunk, tmax):
+                scores, tokens, counts = nw.nw_align_with_runs(
+                    Q, T, qlens, tlens, use_int16=use_int16,
+                    run_max=nw.RUN_MAX, **kw
+                )
+                return (
+                    chunk, scores, ("runs", (tokens, counts)),
+                    qlens, tlens, band, use_int16,
                 )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16, **kw
@@ -841,6 +877,8 @@ class WfaAligner:
             steps_p, grows, gvals, gcount = (np.asarray(a) for a in data)
             steps = nw.unpack_opcodes(steps_p, steps_p.shape[1] * 4)
             data = (steps, grows, gvals, gcount)
+        elif mode == "runs":
+            data = tuple(np.asarray(a) for a in data)  # (tokens, counts)
         elif mode != "items":
             data = np.asarray(data)
             if mode == "ops":
@@ -879,8 +917,28 @@ class WfaAligner:
                 self._v3_set.add((p, rc))
                 retries.append(((p, rc, bandj, force32), score))
                 continue
+            if mode == "runs" and int(data[1][b]) > nw.RUN_MAX:
+                # run list truncated on device: retry via opcode emission
+                # (same band — the score is already certified)
+                self.stats["run_overflows"] += 1
+                self._runs_off_set.add((p, rc))
+                retries.append(((p, rc, bandj, force32), score))
+                continue
             self.stats["cells_true"] += (qlen + tlen + 1) * (bandj + 1)
             decode_jobs.append((b, p, rc, q, t, score))
+
+        if mode == "runs" and decode_jobs:
+            rows = [b for b, *_ in decode_jobs]
+            items_all = nw.decode_runs_batch(
+                data[0][rows],
+                data[1][rows],
+                [q for _b, _p, _rc, q, _t, _s in decode_jobs],
+                [t for _b, _p, _rc, _q, t, _s in decode_jobs],
+            )
+            for (b, p, rc, q, t, score), items in zip(decode_jobs, items_all):
+                qi, tj = pairs[p]
+                done[(p, rc)] = AlignmentResult(int(qi), int(tj), rc, score, items)
+            return done, retries
 
         if mode == "ops" and decode_jobs:
             # hot path: one vectorized decode over the whole chunk (cursor

@@ -1092,11 +1092,33 @@ def nw_align_long(
     return scores, items
 
 
+# max run-length tokens per pair in the compacted run list (emit="runs").
+# M runs break only at indel ops (mismatches stay inside M), so accepted
+# alignments have ~2*indel_events+1 runs — tens, not hundreds; pairs whose
+# walk produces more retry through the opcode path (runner._runs_off_set).
+RUN_MAX = 128
+# run lengths are capped at 14 bits per token (longer runs split into
+# multiple tokens; the host decoder re-merges adjacent same-op runs)
+_RUN_LEN_MAX = (1 << 14) - 1
+
+
 def _tb_scan_tbw(
-    tb, qlens, tlens, *, band: int, t_total: int, unroll: int = 4, start=None
+    tb, qlens, tlens, *, band: int, t_total: int, unroll: int = 4, start=None,
+    emit: str = "ops", run_max: int = RUN_MAX,
 ):
     """Reverse opcode scan over a [t, B, W]-layout traceback (row slice =
     one static-shape dynamic_slice on axis 0; no transpose materialized).
+
+    emit="ops" (default) returns the per-step opcode tensor [B, t_total+1].
+    emit="runs" instead run-length-encodes INSIDE the walk (the scan carries
+    a (sym, len) accumulator; completed runs emit as 16-bit tokens
+    op | len << 2) and compacts the sparse emissions with one top_k whose
+    int32 key packs (position << 16 | token) — no per-pair gathers.  Returns
+    (tokens [B, run_max] int32 in walk order = REVERSE alignment order, 0
+    beyond each pair's count; counts [B] int32).  counts > run_max means the
+    compaction dropped runs and the pair must re-run via opcodes.  Requires
+    t_total < 2^15 (the position field); callers route longer programs to
+    emit="ops".
 
     start (optional (cur_t0, l0, mat0) [B]-arrays): per-row walk start for
     the bidirectional fold — anti-diagonal, lane, and material
@@ -1112,6 +1134,10 @@ def _tb_scan_tbw(
     def i0_of(t):
         return jnp.maximum((t - K + 1) // 2, 0)
 
+    runs_mode = emit == "runs"
+    if runs_mode and t_total + 1 >= (1 << 15):
+        raise ValueError("emit='runs' needs t_total < 32767 (top_k key packing)")
+
     if start is None:
         cur_t0 = qlens + tlens
         l0 = qlens - i0_of(cur_t0)
@@ -1119,9 +1145,12 @@ def _tb_scan_tbw(
     else:
         cur_t0, l0, mat0 = (a.astype(jnp.int32) for a in start)
     done0 = cur_t0 <= 0
+    state0 = (cur_t0, l0, mat0, done0)
+    if runs_mode:
+        state0 = state0 + (jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
 
     def body(state, td):
-        cur_t, l, mat, done = state
+        cur_t, l, mat, done = state[:4]
         row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=0)[0].astype(jnp.int32)
         active = (~done) & (cur_t == td)
         b = jnp.sum(jnp.where(lanes == l[:, None], row, 0), axis=1)
@@ -1164,15 +1193,46 @@ def _tb_scan_tbw(
         l = jnp.where(active, nl, l)
         mat = jnp.where(active, nmat, mat)
         done = done | (active & ndone)
-        emitted = jnp.where(active, op, OP_NONE).astype(jnp.uint8)
-        return (cur_t, l, mat, done), emitted
+        if not runs_mode:
+            emitted = jnp.where(active, op, OP_NONE).astype(jnp.uint8)
+            return (cur_t, l, mat, done), emitted
+        # run accumulator: extend on same-op steps, close + restart on
+        # op changes (and at the 14-bit length cap; the host re-merges)
+        run_sym, run_len = state[4], state[5]
+        opa = jnp.where(active, op, OP_NONE)
+        has = opa != OP_NONE
+        same = has & (opa == run_sym) & (run_len < _RUN_LEN_MAX)
+        close = has & ~same
+        out_tok = jnp.where(close, run_sym | (run_len << 2), 0)
+        run_len = jnp.where(same, run_len + 1, jnp.where(has, 1, run_len))
+        run_sym = jnp.where(close, opa, run_sym)
+        return (cur_t, l, mat, done, run_sym, run_len), out_tok
 
     tds = jnp.arange(t_total, 0, -1, dtype=jnp.int32)
-    _, ops_rev = jax.lax.scan(body, (cur_t0, l0, mat0, done0), tds, unroll=unroll)
-    ops = jnp.concatenate(
-        [jnp.zeros((1, B), jnp.uint8), ops_rev[::-1]], axis=0
-    ).T
-    return ops
+    state, ys = jax.lax.scan(body, state0, tds, unroll=unroll)
+    if not runs_mode:
+        ops = jnp.concatenate(
+            [jnp.zeros((1, B), jnp.uint8), ys[::-1]], axis=0
+        ).T
+        return ops
+
+    # flush the last open run (walk order: it is the alignment's FIRST run)
+    run_sym, run_len = state[4], state[5]
+    flush = jnp.where(run_len > 0, run_sym | (run_len << 2), 0)
+    toks = jnp.concatenate([ys.T, flush[:, None]], axis=1)  # [B, L1]
+    L1 = toks.shape[1]
+    idx = jnp.arange(L1, dtype=jnp.int32)[None, :]
+    live = toks > 0
+    # key packs (descending position rank << 16 | token): one top_k yields
+    # the first run_max tokens in walk order, payload included — no gathers
+    key = jnp.where(live, ((L1 - idx) << 16) | toks, 0)
+    kk = min(run_max, L1)
+    vals = jax.lax.top_k(key, kk)[0]
+    tokens = vals & 0xFFFF
+    if kk < run_max:
+        tokens = jnp.pad(tokens, ((0, 0), (0, run_max - kk)))
+    counts = jnp.sum(live, axis=1, dtype=jnp.int32)
+    return tokens, counts
 
 
 @functools.partial(
@@ -1207,6 +1267,139 @@ def nw_align_with_opcodes(
     )
     ops = _tb_scan_tbw(tb, qlens, tlens, band=band, t_total=t_total, unroll=tb_unroll)
     return scores, pack_opcodes(ops)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mismatch", "o1", "e1", "o2", "e2", "band", "tmax", "use_int16",
+        "unroll", "tb_unroll", "impl", "run_max",
+    ),
+)
+def nw_align_with_runs(
+    Q, T, qlens, tlens, *, mismatch, o1, e1, o2, e2, band, tmax,
+    use_int16=False, unroll=4, tb_unroll=4, impl="v3", run_max=RUN_MAX,
+):
+    """Fused sweep + device traceback with run-length output: one dispatch,
+    ~6x less device->host traffic than the packed-opcode path.
+
+    Identical walk (and therefore identical CIGARs) to
+    nw_align_with_opcodes — only the emission differs: the reverse walk
+    run-length-encodes M/I/D steps in-scan and the result compacts to
+    (tokens [B, run_max] int32 = op | len << 2, in walk order = reverse
+    alignment order; counts [B] int32).  counts > run_max means the pair's
+    run list was truncated — callers must re-run it through the opcode
+    path.  Decode with decode_runs_batch.  Requires tmax < 32766 (the
+    compaction's position field); the runner routes longer programs to
+    opcodes."""
+    sweep = _sweep_v3 if impl == "v3" else _sweep_tbw
+    scores, tb, t_total = sweep(
+        Q, T, qlens, tlens,
+        mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2,
+        band=band, tmax=tmax, with_traceback=True,
+        dtype=jnp.int16 if use_int16 else jnp.int32,
+        unroll=unroll,
+    )
+    tokens, counts = _tb_scan_tbw(
+        tb, qlens, tlens, band=band, t_total=t_total, unroll=tb_unroll,
+        emit="runs", run_max=run_max,
+    )
+    return scores, tokens, counts
+
+
+def decode_runs_batch(
+    tokens: np.ndarray,
+    counts: np.ndarray,
+    qs: list[np.ndarray],
+    ts: list[np.ndarray],
+) -> list[list[tuple[int, str]]]:
+    """Decode run tokens (nw_align_with_runs) into per-pair run-length CIGAR
+    item lists with 'M' split into '='/'X' — the decode_batch output
+    contract, at run granularity instead of step granularity.
+
+    Cursor positions are two [B, RUN_MAX] cumsums (walk order = from the
+    alignment's end, so starts come from suffix arithmetic), the M-run base
+    comparison is one flat gather over all M bases, and '='/'X' boundaries
+    fall out of one RLE with forced breaks at M-run starts.  Rows with
+    counts > RUN_MAX are truncated on device — callers must not pass them
+    here (the runner retries them via the opcode path)."""
+    tokens = np.asarray(tokens)
+    counts = np.asarray(counts)
+    B, R = tokens.shape
+    if B == 0:
+        return []
+    syms = (tokens & 3).astype(np.int8)
+    lens = (tokens >> 2).astype(np.int64)
+    r_idx = np.arange(R, dtype=np.int64)[None, :]
+    valid = (r_idx < np.minimum(counts, R)[:, None]) & (lens > 0)
+    lens = np.where(valid, lens, 0)
+    is_m = valid & (syms == OP_M)
+    qc = np.where(valid & ((syms == OP_M) | (syms == OP_I)), lens, 0)
+    tc = np.where(valid & ((syms == OP_M) | (syms == OP_D)), lens, 0)
+    q_after = np.cumsum(qc, axis=1) - qc  # query bases consumed AFTER a run
+    t_after = np.cumsum(tc, axis=1) - tc
+    qlens = np.array([q.size for q in qs], dtype=np.int64)
+    tlens = np.array([t.size for t in ts], dtype=np.int64)
+    q0 = qlens[:, None] - q_after - qc  # run start (consuming runs only)
+    t0 = tlens[:, None] - t_after - tc
+
+    # one flat base comparison over every M base in the batch
+    bm, rm = np.nonzero(is_m)  # row-major: walk order within each row
+    n_mruns = bm.size
+    seg_bound = np.zeros(1, dtype=np.int64)
+    seg_lens = seg_eq = None
+    gmap = np.full((B, R), -1, dtype=np.int64)
+    if n_mruns:
+        gmap[bm, rm] = np.arange(n_mruns)
+        mlen = lens[bm, rm]
+        ends = np.cumsum(mlen)
+        starts_flat = ends - mlen
+        total = int(ends[-1])
+        offs = np.arange(total, dtype=np.int64) - np.repeat(starts_flat, mlen)
+        qi = np.repeat(q0[bm, rm], mlen) + offs
+        ti = np.repeat(t0[bm, rm], mlen) + offs
+        rowrep = np.repeat(bm, mlen)
+        Lq = max(1, int(qlens.max()))
+        Lt = max(1, int(tlens.max()))
+        # distinct pads: an out-of-range M base decodes as 'X', never '='
+        Qh = np.full((B, Lq), 254, np.uint8)
+        Th = np.full((B, Lt), 255, np.uint8)
+        for b, (q, t) in enumerate(zip(qs, ts)):
+            Qh[b, : q.size] = q
+            Th[b, : t.size] = t
+        eq = Qh[rowrep, np.clip(qi, 0, Lq - 1)] == Th[rowrep, np.clip(ti, 0, Lt - 1)]
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        change[1:] = eq[1:] != eq[:-1]
+        change[starts_flat] = True  # segment breaks at every M-run start
+        seg_starts = np.flatnonzero(change)
+        seg_lens = np.diff(np.append(seg_starts, total))
+        seg_eq = eq[seg_starts]
+        seg_mrun = np.searchsorted(ends, seg_starts, side="right")
+        seg_bound = np.searchsorted(seg_mrun, np.arange(n_mruns + 1))
+
+    out: list[list[tuple[int, str]]] = []
+    for b in range(B):
+        items: list[tuple[int, str]] = []
+
+        def push(n, op):
+            if items and items[-1][1] == op:
+                items[-1] = (items[-1][0] + n, op)
+            else:
+                items.append((n, op))
+
+        for r in np.flatnonzero(valid[b])[::-1]:  # reverse walk = fwd order
+            s = syms[b, r]
+            if s == OP_M:
+                g = gmap[b, r]
+                for si in range(seg_bound[g], seg_bound[g + 1]):
+                    push(int(seg_lens[si]), "=" if seg_eq[si] else "X")
+            elif s == OP_I:
+                push(int(lens[b, r]), "I")
+            else:
+                push(int(lens[b, r]), "D")
+        out.append(items)
+    return out
 
 
 # -----------------------------------------------------------------------------
