@@ -738,9 +738,13 @@ class WfaAligner:
                     qlens, tlens, band_eff, use_int16,
                 )
             if self._use_runs(chunk, tmax):
+                # unroll=8: the run accumulator adds ops to the serial walk
+                # body; deeper unroll amortizes the per-region sequencing
+                # overhead (measured: B=512 fused 231 -> 210 ms,
+                # docs/PROFILE_TPU_RUNS.json)
                 scores, tokens, counts = nw.nw_align_with_runs(
                     Q, T, qlens, tlens, use_int16=use_int16,
-                    run_max=nw.RUN_MAX, **kw
+                    run_max=nw.RUN_MAX, unroll=8, tb_unroll=8, **kw
                 )
                 return (
                     chunk, scores, ("runs", (tokens, counts)),
