@@ -790,6 +790,18 @@ class WfaAligner:
                     chunk, out[0], ("rowtok", out[1:]),
                     np.asarray(qlens), np.asarray(tlens), band, use_int16,
                 )
+            if self._use_runs(chunk, tmax):
+                # the kernel is elementwise over pairs (top_k runs along the
+                # token axis), so the sharded batch needs no communication —
+                # and each chip's fetch shrinks the same ~6x as single-chip
+                scores, tokens, counts = nw.nw_align_with_runs(
+                    Q, T, qlens, tlens, use_int16=use_int16,
+                    run_max=nw.RUN_MAX, unroll=8, tb_unroll=8, **kw
+                )
+                return (
+                    chunk, scores, ("runs", (tokens, counts)),
+                    np.asarray(qlens), np.asarray(tlens), band, use_int16,
+                )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16, **kw
             )
