@@ -63,7 +63,13 @@ class RunnerConfig:
     max_divergence: float | None = None
     band_slack: int = 64  # minimum extra diagonals beyond the length difference
     initial_smax: int = 256
-    memory_budget_bytes: int = int(1.5e9)
+    # traceback-tensor budget per dispatch ([B, tmax, W] uint8 HBM scratch).
+    # 2.6 GB lets a saturated ~650-job workload pack into ONE mega chunk:
+    # measured 1,742 pairs/s vs 729 for the 1.5 GB two-chunk split in the
+    # same window (docs/PROFILE_TPU_WARM.json) — every dispatch pays a
+    # fixed host-link round trip and the sweep cost is flat-in-B until far
+    # past these batch sizes
+    memory_budget_bytes: int = int(2.6e9)
     verbose: bool = False
     # alignment kernel: 'nw' = banded anti-diagonal Gotoh (shift-only,
     # TPU speed-of-light); 'wfa' = score-adaptive wavefront
@@ -738,13 +744,14 @@ class WfaAligner:
                     qlens, tlens, band_eff, use_int16,
                 )
             if self._use_runs(chunk, tmax):
-                # unroll=8: the run accumulator adds ops to the serial walk
-                # body; deeper unroll amortizes the per-region sequencing
-                # overhead (measured: B=512 fused 231 -> 210 ms,
-                # docs/PROFILE_TPU_RUNS.json)
+                # unroll stays at the kernel default (4): deeper unroll won
+                # on one raw B=512 point (docs/PROFILE_TPU_RUNS.json) but
+                # regressed the real chunk shapes 2x (docs/
+                # PROFILE_TPU_WARM.json b600_default) — unroll effects are
+                # shape-dependent and unstable on this backend
                 scores, tokens, counts = nw.nw_align_with_runs(
                     Q, T, qlens, tlens, use_int16=use_int16,
-                    run_max=nw.RUN_MAX, unroll=8, tb_unroll=8, **kw
+                    run_max=nw.RUN_MAX, **kw
                 )
                 return (
                     chunk, scores, ("runs", (tokens, counts)),
@@ -796,7 +803,7 @@ class WfaAligner:
                 # and each chip's fetch shrinks the same ~6x as single-chip
                 scores, tokens, counts = nw.nw_align_with_runs(
                     Q, T, qlens, tlens, use_int16=use_int16,
-                    run_max=nw.RUN_MAX, unroll=8, tb_unroll=8, **kw
+                    run_max=nw.RUN_MAX, **kw
                 )
                 return (
                     chunk, scores, ("runs", (tokens, counts)),
