@@ -1,0 +1,173 @@
+"""Band-sharded (sequence-parallel) alignment: one pair's band split across
+the virtual device mesh.  Asserts BIT parity of scores and traceback bytes
+with the single-device kernel, plus end-to-end CIGAR validity.
+
+This is capability the reference lacks entirely (sequences must fit one
+thread's memory, /root/reference/README.md:225)."""
+
+import numpy as np
+import pytest
+
+from seqrush_tpu.ops import nw, wfa
+from seqrush_tpu.ops.wfa import Penalties
+from seqrush_tpu.parallel.bandshard import (
+    align_pair_sharded,
+    band_for_mesh,
+    nw_align_band_sharded,
+)
+from seqrush_tpu.parallel.mesh import make_mesh
+from seqrush_tpu.pos import encode_bases
+
+PEN = Penalties(5, 8, 2, 24, 1)
+
+
+def _mutate(rng, s, n_snp=6, indels=2):
+    s = bytearray(s)
+    bases = b"ACGT"
+    for pos in rng.integers(0, len(s), size=n_snp):
+        s[pos] = bases[rng.integers(0, 4)]
+    for _ in range(indels):
+        pos = int(rng.integers(0, len(s) - 12))
+        ln = int(rng.integers(1, 9))
+        if rng.random() < 0.5:
+            del s[pos : pos + ln]
+        else:
+            s[pos:pos] = bytes(bases[rng.integers(0, 4)] for _ in range(ln))
+    return bytes(s)
+
+
+def _make_pairs(seed=11, n=3, length=260):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pairs = []
+    for _ in range(n):
+        q = bases[rng.integers(0, 4, size=length)].tobytes()
+        pairs.append((q, _mutate(rng, q)))
+    return pairs
+
+
+def _pack(pairs):
+    qs = [encode_bases(q) for q, _ in pairs]
+    ts = [encode_bases(t) for _, t in pairs]
+    lq = max(q.size for q in qs)
+    lt = max(t.size for t in ts)
+    Q = np.stack(
+        [np.concatenate([q, np.full(lq - q.size, nw.QPAD, np.uint8)]) for q in qs]
+    )
+    T = np.stack(
+        [np.concatenate([t, np.full(lt - t.size, nw.TPAD, np.uint8)]) for t in ts]
+    )
+    qlens = np.array([q.size for q in qs], np.int32)
+    tlens = np.array([t.size for t in ts], np.int32)
+    return Q, T, qlens, tlens
+
+
+KW = dict(
+    mismatch=PEN.mismatch,
+    o1=PEN.gap1_open,
+    e1=PEN.gap1_extend,
+    o2=PEN.gap2_open,
+    e2=PEN.gap2_extend,
+)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_bit_parity_with_single_device(n_dev):
+    """Scores AND traceback bytes identical to the unsharded v3 sweep."""
+    pairs = _make_pairs()
+    Q, T, qlens, tlens = _pack(pairs)
+    band = 127  # W = 128 divides every mesh size tested
+    tmax = int((qlens + tlens).max())
+
+    ref_scores, ref_tb, _ = nw._sweep_v3(
+        Q, T, qlens, tlens, band=band, tmax=tmax, with_traceback=True, **KW
+    )
+    mesh = make_mesh(n_dev)
+    scores, tb = nw_align_band_sharded(
+        mesh, Q, T, qlens, tlens, band=band, tmax=tmax, **KW
+    )
+    np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref_scores))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(ref_tb))
+
+
+def test_mesh_size_invariance():
+    """The sharded traceback is identical across 1/2/8-device meshes."""
+    pairs = _make_pairs(seed=5, n=2)
+    Q, T, qlens, tlens = _pack(pairs)
+    band = 127
+    tmax = int((qlens + tlens).max())
+    outs = []
+    for n in (1, 2, 8):
+        s, tb = nw_align_band_sharded(
+            make_mesh(n), Q, T, qlens, tlens, band=band, tmax=tmax, **KW
+        )
+        outs.append((np.asarray(s), np.asarray(tb)))
+    for s, tb in outs[1:]:
+        np.testing.assert_array_equal(s, outs[0][0])
+        np.testing.assert_array_equal(tb, outs[0][1])
+
+
+def test_align_pair_sharded_end_to_end():
+    """Full helper: score matches the DP oracle; CIGAR valid and costed."""
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    q = bases[rng.integers(0, 4, size=400)].tobytes()
+    t = _mutate(rng, q, n_snp=10, indels=3)
+    mesh = make_mesh(8)
+    score, items = align_pair_sharded(mesh, q, t)
+    oracle = wfa.affine2p_score_dp(encode_bases(q), encode_bases(t), PEN)
+    assert score == oracle
+    # CIGAR consumes both sequences exactly and reproduces the score
+    qc, tc = encode_bases(q), encode_bases(t)
+    qi = ti = 0
+    cost = 0
+    for n, op in items:
+        if op == "=":
+            assert np.array_equal(qc[qi : qi + n], tc[ti : ti + n])
+            qi += n
+            ti += n
+        elif op == "X":
+            assert np.all(qc[qi : qi + n] != tc[ti : ti + n])
+            cost += n * PEN.mismatch
+            qi += n
+            ti += n
+        elif op == "I":
+            cost += min(
+                PEN.gap1_open + n * PEN.gap1_extend,
+                PEN.gap2_open + n * PEN.gap2_extend,
+            )
+            qi += n
+        elif op == "D":
+            cost += min(
+                PEN.gap1_open + n * PEN.gap1_extend,
+                PEN.gap2_open + n * PEN.gap2_extend,
+            )
+            ti += n
+        else:
+            raise AssertionError(op)
+    assert qi == len(q) and ti == len(t)
+    assert cost == score
+
+
+def test_band_for_mesh():
+    assert (band_for_mesh(100, 8, quantum=16) + 1) % (8 * 16) == 0
+    assert band_for_mesh(127, 4, quantum=32) == 127
+    # never shrinks below k
+    for k in (1, 100, 1000):
+        assert band_for_mesh(k, 8) >= k
+
+
+def test_unequal_lengths_and_wide_band():
+    """Band wider than the sequences (phase A only) still exact."""
+    pairs = [(b"ACGTACGTACGT" * 6, b"ACGTACGTACGT" * 5)]
+    Q, T, qlens, tlens = _pack(pairs)
+    band = 255  # W = 256, wider than both sequences
+    tmax = int((qlens + tlens).max())
+    ref_scores, ref_tb, _ = nw._sweep_v3(
+        Q, T, qlens, tlens, band=band, tmax=tmax, with_traceback=True, **KW
+    )
+    scores, tb = nw_align_band_sharded(
+        make_mesh(8), Q, T, qlens, tlens, band=band, tmax=tmax, **KW
+    )
+    np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref_scores))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(ref_tb))
