@@ -98,6 +98,25 @@ def test_tandem_duplication():
     assert_paths_reconstruct(sr, graph)
 
 
+def test_microsatellite_repeats():
+    """Low-complexity (AT)n / (CA)n tracts with differing repeat counts —
+    many co-optimal alignments; the golden invariant must hold regardless
+    of which one the kernel picks (lib.rs repeats/microsatellites case)."""
+    flank_l = generate_random_sequence(60, 21)
+    flank_r = generate_random_sequence(60, 22)
+
+    def sat(n_at, n_ca):
+        return flank_l + b"AT" * n_at + b"GGG" + b"CA" * n_ca + flank_r
+
+    named = [("r12_10", sat(12, 10)), ("r15_10", sat(15, 10)),
+             ("r12_7", sat(12, 7)), ("r15_7", sat(15, 7))]
+    sr, graph = run_pipeline(named)
+    assert_paths_reconstruct(sr, graph)
+    # and through the full sorted/compacted pipeline
+    sr, graph = run_pipeline(named, no_compact=False, no_sort=False)
+    assert_paths_reconstruct(sr, graph)
+
+
 def test_complex_combination():
     base = generate_random_sequence(300, 6)
     s1 = add_snp(base, 50)
