@@ -185,8 +185,19 @@ def _sgd_run(
         r_x = (delta_update / mag) * dx
         r_x = jnp.where(valid, r_x, 0.0)
 
-        x = x.at[i].add(-r_x)
-        x = x.at[j].add(r_x)
+        # Per-node MEAN of this tick's term updates, not the raw sum: all
+        # terms in a tick read the same position snapshot, so a node drawn
+        # k times would compound k half-discrepancy moves and the iteration
+        # diverges (positions -> inf -> NaN) once u_per_sub approaches the
+        # node count — exactly the regime zoo-scale graphs hit.  The
+        # reference's Hogwild applies terms one-at-a-time against fresh
+        # positions (path_sgd.rs:475-511) and cannot compound; the mean is
+        # the batch-synchronous estimator with the same fixed points and a
+        # per-tick step bounded by the largest single-term move.
+        nvalid = valid.astype(x.dtype)
+        upd = jnp.zeros_like(x).at[i].add(-r_x).at[j].add(r_x)
+        cnt = jnp.zeros_like(x).at[i].add(nvalid).at[j].add(nvalid)
+        x = x + upd / jnp.maximum(cnt, 1.0)
         return x, None
 
     iters = jnp.repeat(jnp.arange(etas.shape[0] - 1), n_sub)
