@@ -116,6 +116,51 @@ def test_sgd_orders_linear_path():
     assert got == want or got == want[::-1]
 
 
+def test_sgd_stable_at_scale():
+    """Zoo-scale regression: with u_per_sub approaching the node count, the
+    old scatter-add tick compounded same-snapshot moves on repeatedly-drawn
+    nodes and diverged (every position NaN -> stable sort -> the Y phase
+    silently returned the identity ordering).  The per-node-mean update
+    must stay finite at every mixing granularity and actually reorder a
+    shuffled graph."""
+    rng = np.random.default_rng(7)
+    g = BidirectedGraph()
+    n = 900
+    perm = rng.permutation(n) + 1  # node ids shuffled vs path order
+    for nid in perm:
+        g.add_node(int(nid), b"AC")
+    for k in range(8):  # 8 paths over subsets -> mtu ~ 0.8 * 8 * n
+        keep = rng.random(n) < 0.8
+        steps = np.array([H(int(x)) for x in perm[keep]], dtype=np.int64)
+        g.add_path(f"p{k}", steps)
+    g.verify_path_edges()
+    from seqrush_tpu.layout.sgd import path_linear_sgd
+
+    for n_sub in (1, 8):
+        params = YgsParams.from_graph(g).to_sgd()
+        params.n_sub = n_sub
+        pos = path_linear_sgd(g, params)
+        xs = np.array(list(pos.values()))
+        assert np.isfinite(xs).all(), f"n_sub={n_sub}: non-finite positions"
+    order = path_sgd_sort(g, YgsParams.from_graph(g).to_sgd())
+    assert order != [nid << 1 for nid in sorted(g.nodes)], "Y phase is a no-op"
+    # the recovered order must track the underlying path order far better
+    # than the shuffled identity: compare mean |rank - path_rank|
+    # (the 1D layout has mirror symmetry — accept either direction)
+    path_rank = {int(x): r for r, x in enumerate(perm)}
+
+    def err(ids):
+        fwd = np.mean([abs(r - path_rank[nid]) for r, nid in enumerate(ids)])
+        rev = np.mean(
+            [abs(r - (n - 1 - path_rank[nid])) for r, nid in enumerate(ids)]
+        )
+        return min(fwd, rev)
+
+    got_err = err([h >> 1 for h in order])
+    id_err = err(sorted(g.nodes))
+    assert got_err < id_err / 4, (got_err, id_err)
+
+
 def test_full_ygs_preserves_paths():
     g = simple_graph()
     before = path_seqs(g)
