@@ -238,6 +238,13 @@ def path_linear_sgd(graph: BidirectedGraph, params: PathSGDParams) -> dict[int, 
 
     n_sub = max(1, params.n_sub)
     u_per_sub = max(1, -(-mtu // n_sub))
+    # quantize the tick width up to a small shape ladder: min_term_updates
+    # is a MINIMUM term budget in the reference (the checker thread advances
+    # the iteration once at least that many updates ran, path_sgd.rs:311-359),
+    # so rounding up only adds updates — and one compiled _sgd_run shape then
+    # serves many graph sizes (each distinct u_per_sub is a separate XLA
+    # compile; over the tunneled TPU a compile costs minutes)
+    u_per_sub = 1 << max(0, (u_per_sub - 1).bit_length())
 
     node_of_step = np.array(
         [id_to_idx[int(h) >> 1] for h in index.step_handle], dtype=np.int32
