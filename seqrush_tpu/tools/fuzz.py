@@ -82,7 +82,19 @@ def main(argv=None) -> int:
     p.add_argument("--trials", type=int, default=0, help="0 = run until --seconds")
     p.add_argument("--seed-base", type=int, default=1)
     p.add_argument("--workdir", default="/tmp")
+    p.add_argument(
+        "--device",
+        default="cpu",
+        choices=["cpu", "default"],
+        help="cpu (default): fuzzing compiles a new kernel shape per trial, "
+        "which a shared/tunneled TPU must never pay; 'default' keeps the "
+        "session backend",
+    )
     ns = p.parse_args(argv)
+    if ns.device == "cpu":
+        # must precede any jax operation (backends initialize lazily; the
+        # environment may pre-import jax with a TPU platform)
+        jax.config.update("jax_platforms", "cpu")
 
     fails = 0
     t0 = time.time()
