@@ -196,8 +196,8 @@ def _sgd_run(
         # per-tick step bounded by the largest single-term move.
         nvalid = valid.astype(x.dtype)
         upd = jnp.zeros_like(x).at[i].add(-r_x).at[j].add(r_x)
-        cnt = jnp.zeros_like(x).at[i].add(nvalid).at[j].add(nvalid)
-        x = x + upd / jnp.maximum(cnt, 1.0)
+        term_cnt = jnp.zeros_like(x).at[i].add(nvalid).at[j].add(nvalid)
+        x = x + upd / jnp.maximum(term_cnt, 1.0)
         return x, None
 
     iters = jnp.repeat(jnp.arange(etas.shape[0] - 1), n_sub)

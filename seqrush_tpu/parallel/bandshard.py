@@ -20,7 +20,12 @@ tile (128).
 Exactness: the arithmetic is the global kernel's (ops/nw.py _sweep_v3,
 int32 no-clamp variant) re-indexed per shard; tests assert *bit-identical*
 scores and traceback bytes against the single-device kernel across mesh
-sizes.  Traceback decode reuses the standard host walk
+sizes.  The DP body is deliberately a COPY of _sweep_v3's rather than a
+shared parameterized implementation: _sweep_v3 is the TPU-measured hot
+kernel whose compiled programs ship in .jax_cache, and threading shift/
+window callables through it would both perturb the measured XLA program
+and invalidate every cached compile over the tunnel.  The bit-parity
+battery (tests/test_bandshard.py) is the drift tripwire.  Traceback decode reuses the standard host walk
 (ops/nw.py traceback_pair) on the gathered [T+1, W] strip; for pairs whose
 gathered traceback exceeds host memory, walk shard-by-shard instead (the
 walk visits lanes monotonically within a device's strip between halo
@@ -62,7 +67,7 @@ def _build_sharded_sweep(mesh, mismatch, o1, e1, o2, e2, band, tmax):
     D = int(mesh.devices.size)
     K = band
     W = K + 1
-    assert W % D == 0, f"band width {W} must divide mesh size {D}"
+    assert W % D == 0, f"mesh size {D} must divide band width {W}"
     Wl = W // D
     two = o2 >= 0
     NEG = INF  # int32 saturation-free mode (see _sweep_v3 validity argument)
@@ -283,19 +288,27 @@ def align_pair_sharded(
     """Align ONE pair whose band is sharded across every device in ``mesh``.
 
     Returns (score, CIGAR run-list with '='/'X' resolved).  The traceback
-    walk runs on the host over the gathered strip; exactness across the band
-    follows from the same certificate as the batched path (the caller
-    chooses `band`; default = full |qlen-tlen| + half the shorter length,
-    which always certifies).
+    walk runs on the host over the gathered strip.
+
+    Exactness: the default band is the FULL half-width max(qlen, tlen) —
+    every DP cell is inside the band, so the result is the global optimum
+    by construction at any divergence (this API exists for pairs whose
+    full band exceeds one chip, so it does not presume a divergence
+    estimate).  A caller passing a narrower ``band`` gets the usual banded
+    contract: exact iff the optimal path stays inside it — certify with
+    the runner's score bound (align/runner.py _cert_bound) and escalate.
+
+    tmax and the band quantize to coarse ladders so one compiled program
+    serves many nearby pair lengths (a new shape is a full XLA compile).
     """
     q = encode_bases(query)
     t = encode_bases(target)
     qlen, tlen = q.size, t.size
     n = int(mesh.devices.size)
     if band is None:
-        band = abs(qlen - tlen) + min(qlen, tlen) // 2 + 1
+        band = max(qlen, tlen)
     band = band_for_mesh(band, n)
-    tmax = qlen + tlen
+    tmax = _round_up(qlen + tlen, 512)
     # phase structure rounds T_total up to TA + 2*ceil((tmax-TA)/2)
     Q = q[None, :].astype(np.uint8)
     T = t[None, :].astype(np.uint8)

@@ -19,9 +19,10 @@ import time
 
 import numpy as np
 
-from ..config import Args
-from ..pipeline import SeqRushTPU
-from ..sequences import make_sequence_set
+# NOTE: pipeline imports happen inside one_trial()/main(), AFTER the device
+# pin — importing them here executes module-level jnp constants, which
+# initializes the JAX backend and makes any later jax_platforms update a
+# silent no-op (the environment may pre-import jax with a TPU platform).
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 COMP = bytes.maketrans(b"ACGT", b"TGCA")
@@ -67,6 +68,10 @@ def one_trial(trial: int, workdir: str) -> list[str]:
         opts["min_match_length"] = int(rng.integers(0, 20))
     if rng.random() < 0.2:
         opts["seqwish_style"] = True
+    from ..config import Args
+    from ..pipeline import SeqRushTPU
+    from ..sequences import make_sequence_set
+
     seqs = make_sequence_set(fam)
     sr = SeqRushTPU(seqs, Args(**opts))
     sr.align_and_unite()
@@ -93,8 +98,13 @@ def main(argv=None) -> int:
     ns = p.parse_args(argv)
     if ns.device == "cpu":
         # must precede any jax operation (backends initialize lazily; the
-        # environment may pre-import jax with a TPU platform)
+        # environment may pre-import jax with a TPU platform).  Pipeline
+        # modules are imported lazily in one_trial() for the same reason.
         jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", (
+            "CPU pin did not take (a non-CPU backend was initialized before "
+            "main() — check for module-level jax operations)"
+        )
 
     fails = 0
     t0 = time.time()

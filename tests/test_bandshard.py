@@ -149,6 +149,20 @@ def test_align_pair_sharded_end_to_end():
     assert cost == score
 
 
+def test_default_band_exact_at_full_divergence():
+    """A fully divergent pair: the cheapest alignment is delete-all +
+    insert-all, whose path hugs the DP edges — any band narrower than the
+    full half-width misses it.  The default band must return the global
+    optimum (found by code review: the old heuristic default reported 872
+    vs the true 848 here)."""
+    q = b"A" * 400
+    t = b"C" * 400
+    mesh = make_mesh(4)
+    score, items = align_pair_sharded(mesh, q, t)
+    oracle = wfa.affine2p_score_dp(encode_bases(q), encode_bases(t), PEN)
+    assert score == oracle
+
+
 def test_band_for_mesh():
     assert (band_for_mesh(100, 8, quantum=16) + 1) % (8 * 16) == 0
     assert band_for_mesh(127, 4, quantum=32) == 127
