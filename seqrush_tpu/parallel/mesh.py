@@ -14,10 +14,12 @@ union-find (SURVEY.md §2.5).  The TPU-native equivalent:
 * Multi-host: the same program under ``jax.distributed.initialize`` shards
   pair batches across hosts' local devices; collectives ride ICI.
 
-``dryrun step`` note: the fully-general unite path extracts match runs from
-the host-side backtrace; the device-resident step below unites the
-exact-match prefix run (LCP) of each pair, which is the backtrace-free subset
-and exercises the real collective+scatter pattern end-to-end.
+Note: ``distributed_align_unite`` below is a self-contained device-resident
+step that unites the exact-match prefix run (LCP) of each pair — the
+backtrace-free subset — exercising the collective+scatter pattern in
+isolation (tests/test_multidevice.py).  The production path (and the driver
+``dryrun_multichip``) runs the full pipeline instead: sharded fused kernel,
+match-run extraction from the traceback, deterministic bulk unite.
 """
 
 from __future__ import annotations
