@@ -13,8 +13,11 @@ The measured phase is what the reference parallelizes with 64 rayon
 threads: orientation pre-check + full two-piece WFA + CIGAR/match-run
 extraction (SURVEY.md §3.1 hot loops 1-2).
 
-A secondary key (`latency_72pair_alignments_per_s`) reports the 9-sequence
-/ 72-pair single-gene workload of BASELINE.md's "HLA-zoo single gene" row.
+Secondary keys: `latency_72pair_alignments_per_s` reports the 9-sequence
+/ 72-pair single-gene workload of BASELINE.md's "HLA-zoo single gene" row;
+`saturated_gcells_per_s` the padded DP-cell rate of the headline run (the
+padding-economics regression canary); `e2e_fasta_to_gfa_s` the full
+FASTA→GFA wall-clock of BASELINE.md's e2e row.
 That workload is latency-bound by construction — 72 pairs fit in ONE
 device dispatch, so its wall-clock is serial DP depth + host-link round
 trip, not throughput; 64-thread Rust on 72 pairs is likewise measuring
@@ -189,6 +192,7 @@ def main():
                 sat_best = dts
         value = len(res_sat) / sat_best
         st = al_sat.stats
+        sat_gcells = st["cells_padded"] / sat_best / 1e9
         print(
             f"[bench] headline (saturated): {len(res_sat)}/{len(pairs_sat)} "
             f"pairs in {sat_best:.3f}s = {value:.0f} alignments/s "
@@ -198,6 +202,7 @@ def main():
             file=sys.stderr,
         )
     except Exception as e:
+        sat_gcells = 0.0
         print(f"[bench] headline saturated run failed: {e}", file=sys.stderr)
 
     # end-to-end FASTA->GFA wall-clock (BASELINE.md's e2e row; stderr only —
@@ -221,6 +226,7 @@ def main():
             file=sys.stderr,
         )
     except Exception as e:  # never let the e2e extra break the metric line
+        e2e = 0.0
         print(f"[bench] e2e run failed: {e}", file=sys.stderr)
 
     print(
@@ -231,6 +237,8 @@ def main():
                 "unit": "alignments/s",
                 "vs_baseline": round(value / BASELINE_ALIGNMENTS_PER_S, 3),
                 "latency_72pair_alignments_per_s": round(lat_value, 2),
+                "saturated_gcells_per_s": round(sat_gcells, 2),
+                "e2e_fasta_to_gfa_s": round(e2e, 2),
             }
         )
     )
