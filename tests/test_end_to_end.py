@@ -117,6 +117,21 @@ def test_microsatellite_repeats():
     assert_paths_reconstruct(sr, graph)
 
 
+def test_n_gap_sequences():
+    """Assembly-style N gaps: N==N unites (one component), N vs base is a
+    mismatch, and reconstruction returns the N's byte-for-byte."""
+    base = generate_random_sequence(180, 23)
+    gapped = base[:60] + b"N" * 25 + base[85:]
+    gapped2 = base[:60] + b"N" * 25 + base[85:170] + b"NNNNN"
+    sr, graph = run_pipeline([("ref", base), ("g1", gapped), ("g2", gapped2)])
+    assert_paths_reconstruct(sr, graph)
+    sr, graph = run_pipeline(
+        [("ref", base), ("g1", gapped), ("g2", gapped2)],
+        no_compact=False, no_sort=False,
+    )
+    assert_paths_reconstruct(sr, graph)
+
+
 def test_complex_combination():
     base = generate_random_sequence(300, 6)
     s1 = add_snp(base, 50)
