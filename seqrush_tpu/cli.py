@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iterative", action="store_true")
     p.add_argument("--band-slack", type=int, default=128, dest="band_slack")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--profile", default=None, metavar="FILE",
+        help="write a JSON run profile (phase timings, aligner stats, graph counts)",
+    )
     p.add_argument("--inversion-aware", action="store_true", dest="inversion_aware")
     p.add_argument(
         "--mesh-devices", type=int, default=None, dest="mesh_devices",

@@ -60,5 +60,9 @@ class Args:
     seed: int = 42
     inversion_aware: bool = False  # reference inversion_aware_seqrush mode
     mesh_devices: int | None = None  # shard alignment batches over N devices
+    # write a machine-readable run profile (phase timings, aligner stats,
+    # graph counts) to this JSON path — structured observability the
+    # reference lacks (SURVEY.md §5: stdout summary lines only)
+    profile: str | None = None
     memory_budget_bytes: int = int(1.5e9)  # device memory per alignment chunk
     max_chunk_pairs: int = 0  # cap pairs per chunk (0 = memory budget only)

@@ -509,4 +509,21 @@ def run_seqrush(args: Args) -> BidirectedGraph:
     sr = SeqRushTPU(seqs, args)
     sr.align_and_unite()
     graph = sr.write_gfa()
+    if args.profile:
+        import json as _json
+
+        rep = sr.timer.report()
+        rep["stats"] = {
+            k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in sr.stats.items()
+        }
+        rep["graph"] = {
+            "nodes": graph.node_count(),
+            "edges": len(graph.edges),
+            "paths": len(graph.paths),
+        }
+        with open(args.profile, "w") as fh:
+            _json.dump(rep, fh, indent=1)
+        if args.verbose:
+            print(f"Profile written to {args.profile}")
     return graph

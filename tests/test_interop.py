@@ -137,6 +137,27 @@ def test_cli_end_to_end(tmp_path):
     assert sum(1 for l in text.splitlines() if l.startswith("P")) == 3
 
 
+def test_cli_profile_report(tmp_path):
+    """--profile writes a machine-readable run report (phase timings,
+    aligner stats, graph counts) — structured observability the reference
+    lacks (SURVEY.md §5)."""
+    import json
+
+    fa = tmp_path / "in.fa"
+    fam = variant_family(n=3, length=120, seed=15)
+    fa.write_text("".join(f">{name}\n{seq.decode()}\n" for name, seq in fam))
+    out = tmp_path / "out.gfa"
+    prof = tmp_path / "prof.json"
+    from seqrush_tpu.cli import main
+
+    rc = main(["-s", str(fa), "-o", str(out), "--profile", str(prof)])
+    assert rc == 0
+    rep = json.loads(prof.read_text())
+    assert rep["graph"]["paths"] == 3
+    assert rep["stats"]["aligner"]["alignments"] == 6
+    assert "align" in rep["phases_s"]
+
+
 def test_sort_gfa_tool(tmp_path):
     fa = tmp_path / "in.fa"
     fam = variant_family(n=2, length=100, seed=17)
