@@ -133,12 +133,12 @@ def main():
     aligner.align_pairs(pairs)
 
     # measured runs (jit caches + resident arrays warm = steady state):
-    # best of 2 removes tunnel-latency jitter.  The orientation sketch
+    # best of 3 removes tunnel-latency jitter.  The orientation sketch
     # cache is cleared per run so the measured phase includes the full
     # per-batch work the reference's rayon loop does (sketch + align +
     # CIGAR decode); stats reset so the report covers one run.
     best_dt = None
-    for _ in range(2):
+    for _ in range(3):
         for k, v in list(aligner.stats.items()):
             aligner.stats[k] = 0.0 if isinstance(v, float) else 0
         for attr in ("_mh_fwd", "_mh_rc"):
@@ -179,7 +179,7 @@ def main():
         al_sat = WfaAligner(seqs_sat, cfg)
         al_sat.align_pairs(pairs_sat)  # warm compile + resident upload
         sat_best = None
-        for _ in range(2):
+        for _ in range(3):
             for attr in ("_mh_fwd", "_mh_rc"):
                 if hasattr(al_sat, attr):
                     delattr(al_sat, attr)
