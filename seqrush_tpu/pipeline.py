@@ -461,7 +461,11 @@ class SeqRushTPU:
         """Golden invariant: every path reconstructs its input sequence
         byte-for-byte (reference seqrush.rs:1741-1798)."""
         errors = []
-        by_name = {p.name: p for p in graph.paths}
+        # first occurrence wins on duplicate names, matching the reference's
+        # `.find(|p| p.name == seq.id)` (seqrush.rs:1747-1751)
+        by_name: dict = {}
+        for p in graph.paths:
+            by_name.setdefault(p.name, p)
         for seq in self.seqs.sequences:
             path = by_name.get(seq.id)
             if path is None:

@@ -117,6 +117,20 @@ def test_microsatellite_repeats():
     assert_paths_reconstruct(sr, graph)
 
 
+def test_duplicate_names_reference_parity():
+    """The reference's loader does not dedup names and its validator finds
+    the FIRST path per name (seqrush.rs:1747-1751): duplicate names with
+    identical content pass (two paths, both valid); with differing content
+    the run hard-fails validation.  Pin both behaviors."""
+    base = generate_random_sequence(80, 29)
+    sr, graph = run_pipeline([("dup", base), ("dup", base)])
+    assert_paths_reconstruct(sr, graph)
+    assert [p.name for p in graph.paths] == ["dup", "dup"]
+
+    with pytest.raises(RuntimeError, match="validation failed"):
+        run_pipeline([("dup", base), ("dup", add_snp(base, 40))])
+
+
 def test_n_gap_sequences():
     """Assembly-style N gaps: N==N unites (one component), N vs base is a
     mismatch, and reconstruction returns the N's byte-for-byte."""
