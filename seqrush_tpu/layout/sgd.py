@@ -22,6 +22,12 @@ Parameter semantics preserved exactly (path_sgd.rs:202-359, 552-573):
 The Zipfian is sampled exactly by inverse CDF over precomputed partial
 harmonic sums (the reference quantizes the normalizer for large spaces;
 we keep the exact table — pure quality upside).
+
+The reference's reverse-handle position bug class (looking up a step's
+position index with the oriented handle instead of the forward handle —
+docs/sgd_rc_fix.md, docs/sgd_reverse_handle_bug.md) is structurally
+impossible here: ``node_of_step`` strips the orientation bit (``h >> 1``)
+when the flat index is built, so every lookup is by node id.
 """
 
 from __future__ import annotations
