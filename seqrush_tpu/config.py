@@ -64,5 +64,7 @@ class Args:
     # graph counts) to this JSON path — structured observability the
     # reference lacks (SURVEY.md §5: stdout summary lines only)
     profile: str | None = None
-    memory_budget_bytes: int = int(1.5e9)  # device memory per alignment chunk
+    # device memory per alignment chunk; None = RunnerConfig's default
+    # (single source of truth — align/runner.py RunnerConfig.memory_budget_bytes)
+    memory_budget_bytes: int | None = None
     max_chunk_pairs: int = 0  # cap pairs per chunk (0 = memory budget only)

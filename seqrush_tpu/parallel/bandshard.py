@@ -327,7 +327,8 @@ def align_pair_sharded(
         tmax=tmax,
     )
     score = int(jax.device_get(scores)[0])
-    assert score >= 0, "pair did not finish inside tmax (impossible for global)"
+    if score < 0:  # runtime guard, must survive python -O
+        raise RuntimeError("pair did not finish inside tmax (impossible for global)")
     tb_host = np.asarray(jax.device_get(tb))[:, 0, :]  # [T+1, W]
     items = traceback_pair(tb_host, qlen, tlen, band)
     return score, resolve_matches(items, q, t)

@@ -34,6 +34,15 @@ from .ops import unionfind as uf
 from .scores import AlignmentScores
 from .sequences import SequenceSet, load_fasta
 
+# iterative-mode stabilization constants (reference seqrush.rs:1038-1121):
+# the component count is evaluated at every CHECK_INTERVAL-result boundary;
+# STABILITY_THRESHOLD consecutive unchanged counts stop the random phase.
+# ITER_DISPATCH pairs align per device dispatch — early-stop semantics are
+# invariant to it (results are consumed in pair order either way).
+CHECK_INTERVAL = 10
+STABILITY_THRESHOLD = 10
+ITER_DISPATCH = 250
+
 
 class SeqRushTPU:
     def __init__(self, seqs: SequenceSet, args: Args | None = None):
@@ -174,6 +183,9 @@ class SeqRushTPU:
             from .parallel.mesh import make_mesh
 
             mesh = make_mesh(args.mesh_devices)
+        cfg_kw = {}
+        if args.memory_budget_bytes is not None:
+            cfg_kw["memory_budget_bytes"] = args.memory_budget_bytes
         cfg = RunnerConfig(
             scores=scores,
             orientation_scores=osc,
@@ -181,9 +193,9 @@ class SeqRushTPU:
             band_slack=args.band_slack,
             verbose=args.verbose,
             mesh=mesh,
-            memory_budget_bytes=args.memory_budget_bytes,
             max_chunk_pairs=args.max_chunk_pairs,
             threads=args.threads,
+            **cfg_kw,
         )
         aligner = _AlignerCls(self.seqs, cfg)
         n = len(self.seqs)
@@ -268,34 +280,59 @@ class SeqRushTPU:
         if self.args.verbose:
             print(f"[iterative] phase 1: {len(tree_pairs)} tree pairs")
         results = aligner.align_pairs(tree_pairs)
-        all_results = list(results)
+        self.stats["iterative_dispatches"] = 1 if len(tree_pairs) else 0
         for res in results:
             self._result_to_unites(res, self.args.min_match_length)
         components = self.count_components()
         if self.args.verbose:
             print(f"[iterative] after tree phase: {components} components")
 
-        CHECK_INTERVAL = 10  # pairs between component counts (reference :1038)
-        STABILITY_THRESHOLD = 10  # unchanged counts before stopping
+        # The reference aligns pair-by-pair and checks the component count
+        # after every 10 pairs (seqrush.rs:1038-1121).  Its early-stop
+        # semantics depend on RESULT order, not dispatch size — so here the
+        # random phase dispatches device-sized batches (one ~25 ms round
+        # trip per ~25 check intervals instead of per interval) and then
+        # consumes the results IN PAIR ORDER, evaluating the component
+        # count at every 10-result boundary.  On stop, results not yet
+        # consumed are discarded un-united, exactly as the reference never
+        # aligns the remaining pairs.
+        DISPATCH = max(CHECK_INTERVAL, ITER_DISPATCH)
         stable = 0
         prev = components
-        # batch the random phase in CHECK_INTERVAL chunks
-        for lo in range(0, len(random_pairs), CHECK_INTERVAL):
-            chunk = random_pairs[lo : lo + CHECK_INTERVAL]
-            results = aligner.align_pairs(chunk)
-            all_results.extend(results)
-            for res in results:
-                self._result_to_unites(res, self.args.min_match_length)
-            comp = self.count_components()
-            if comp == prev:
-                stable += 1
-                if stable >= STABILITY_THRESHOLD:
-                    if self.args.verbose:
-                        print(f"[iterative] stabilized after {lo + len(chunk)} random pairs")
-                    break
-            else:
-                stable = 0
-            prev = comp
+        stopped = False
+        pair_counter = 0  # phase-global, like the reference's pair_idx
+        for lo in range(0, len(random_pairs), DISPATCH):
+            batch = random_pairs[lo : lo + DISPATCH]
+            results = aligner.align_pairs(batch)
+            self.stats["iterative_dispatches"] += 1
+            # key results by pair so consumption follows BATCH order even if
+            # the backend returned them in completion order
+            from collections import deque
+
+            by_pair: dict[tuple[int, int], deque] = {}
+            for r in results:
+                by_pair.setdefault((r.query_idx, r.target_idx), deque()).append(r)
+            for i, j in batch:
+                dq = by_pair.get((int(i), int(j)))
+                if dq:
+                    self._result_to_unites(dq.popleft(), self.args.min_match_length)
+                # else: the pair was dropped (divergence cap) — it still
+                # advances the check counter, as in the reference
+                pair_counter += 1
+                if pair_counter % CHECK_INTERVAL == 0:
+                    comp = self.count_components()
+                    if comp == prev:
+                        stable += 1
+                        if stable >= STABILITY_THRESHOLD:
+                            stopped = True
+                            break
+                    else:
+                        stable = 0
+                    prev = comp
+            if stopped:
+                if self.args.verbose:
+                    print(f"[iterative] stabilized after {pair_counter} random pairs")
+                break
 
     def _paf_out(self, results) -> None:
         if not self.args.output_alignments:

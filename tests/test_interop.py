@@ -81,6 +81,48 @@ def test_iterative_mode():
     assert g.node_count() < 2 * 150
 
 
+def test_iterative_mode_batches_dispatches(tmp_path):
+    """The random phase aligns in device-sized batches, not one ~25 ms
+    dispatch per 10 pairs (VERDICT r2 weak #5; reference config #4 scale).
+    200 near-identical sequences stabilize after ~100 random pairs: the
+    whole phase must take O(1) dispatches, not ~10."""
+    rng = np.random.default_rng(21)
+    base = bytearray(rand_seq(60, 20))
+    fam = [("s0", bytes(base))]
+    for k in range(1, 200):
+        s = bytearray(base)
+        for pos in rng.integers(0, len(s), size=2):
+            s[pos] = BASES[rng.integers(0, 4)]
+        fam.append((f"s{k}", bytes(s)))
+    seqs = make_sequence_set(fam)
+    sr = SeqRushTPU(seqs, Args(output=str(tmp_path / "it.gfa"), iterative=True, no_sort=True))
+    sr.align_and_unite()
+    g = sr.write_gfa()
+    assert sr.validate_paths_match_sequences(g) == []
+    # 1 tree dispatch + >=1 random dispatch; stabilization (10 checks x 10
+    # pairs) fits inside one 250-pair batch, so the total stays tiny
+    assert 2 <= sr.stats["iterative_dispatches"] <= 4
+
+
+def test_iterative_dispatch_size_invariant(tmp_path, monkeypatch):
+    """Early-stop semantics depend on result order only: batching the random
+    phase at 250 pairs/dispatch produces the same graph as the reference's
+    10-pair cadence (pair-order consumption + phase-global check counter)."""
+    import seqrush_tpu.pipeline as pl
+
+    fam = variant_family(n=8, length=120, seed=33)
+    outs = []
+    for dispatch in (10, 250):
+        monkeypatch.setattr(pl, "ITER_DISPATCH", dispatch)
+        out = str(tmp_path / f"it{dispatch}.gfa")
+        seqs = make_sequence_set(fam)
+        sr = SeqRushTPU(seqs, Args(output=out, iterative=True, no_sort=True))
+        sr.align_and_unite()
+        sr.write_gfa()
+        outs.append(open(out).read())
+    assert outs[0] == outs[1]
+
+
 def test_sparsification_parser():
     assert parse_sparsification("none").kind == "none"
     assert parse_sparsification("auto").kind == "auto"

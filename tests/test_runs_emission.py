@@ -104,6 +104,11 @@ def test_run_length_split_remerges(monkeypatch):
     """Tokens cap run lengths at 14 bits; the host decoder re-merges split
     runs (exercised here by shrinking the cap)."""
     monkeypatch.setattr(nw, "_RUN_LEN_MAX", 7)
+    # _RUN_LEN_MAX is baked in at trace time: drop any cached compilation of
+    # this shape so the patched cap actually takes effect (ADVICE r2).
+    import jax
+
+    jax.clear_caches()
     base = b"ACGTACGTACGTACGTACGTACGTACGTACGTACGTACA"  # 39 bases, unique shape
     Q, T, qlens, tlens, qs, ts = _pack([(base, base)])
     _, tokens, counts = nw.nw_align_with_runs(
