@@ -181,6 +181,7 @@ class WfaAligner:
             "cells_true": 0,  # (qlen+tlen+1) * W summed over aligned jobs
             "gap_overflows": 0,  # row-major walks overflowing nw.GAP_MAX
             "run_overflows": 0,  # runs-emission walks overflowing nw.RUN_MAX
+            "band_sharded": 0,  # pairs routed through the lane-sharded kernel
             # host-side phase timers (seconds; overlap-aware only in that
             # collect time includes the device wait for the oldest chunk)
             "orient_s": 0.0,
@@ -451,6 +452,20 @@ class WfaAligner:
         attempts: dict[tuple[int, bool], AlignmentResult | None] = {}
         queue = jobs
         while queue:
+            if self.cfg.mesh is not None:
+                # sequence parallelism: a pair whose traceback footprint
+                # exceeds one chip's budget routes through the lane-sharded
+                # kernel (parallel/bandshard.py) instead of capping out —
+                # the capability the reference lacks (its sequences must fit
+                # one thread's memory, /root/reference/README.md:225)
+                local = []
+                for job in queue:
+                    if self._needs_band_shard(job, pairs):
+                        key, res = self._align_job_bandsharded(job, pairs, pen)
+                        attempts[key] = res
+                    else:
+                        local.append(job)
+                queue = local
             chunks = self._make_nw_chunks(queue, pairs)
             queue = []
             retries_scored = []  # (job, banded_score)
@@ -519,6 +534,60 @@ class WfaAligner:
                 continue  # the other orientation already scores better
             out.append((p, rc, band, f32))
         return out
+
+    def _needs_band_shard(self, job, pairs) -> bool:
+        """True when this job ALONE would bust the per-dispatch traceback
+        budget — the single-chip cap that _make_nw_chunks sizes chunks by
+        (a lone over-budget job otherwise dispatches anyway and risks OOM).
+        Only meaningful with a mesh: without one there is nowhere to shard."""
+        p, _rc, band, _f32 = job
+        qi, tj = pairs[p]
+        qlen, tlen = self.codes[qi].size, self.codes[tj].size
+        tmax = _round_up(qlen + tlen, 512)
+        bytes_needed = self._quantize_batch(1) * (tmax + 2) * (band + 1)
+        return bytes_needed > self.cfg.memory_budget_bytes
+
+    def _align_job_bandsharded(self, job, pairs, pen):
+        """Align one over-budget job with its band lane-sharded across the
+        mesh (parallel/bandshard.py): per-device traceback memory drops to
+        O(T·W/D).  Band certification and escalation run here (the sharded
+        kernel is exact within its band, same contract as the local one);
+        returns ((pair_idx, rc), result-or-None) like a collected chunk entry.
+        """
+        from ..parallel import bandshard
+        from ..pos import decode_bases
+
+        p, rc, band, _f32 = job
+        qi, tj = pairs[p]
+        q = self.rc_codes[qi] if rc else self.codes[qi]
+        t = self.codes[tj]
+        qlen, tlen = q.size, t.size
+        full = max(qlen, tlen)
+        mesh = self.cfg.mesh
+        n = int(mesh.devices.size)
+        qb, tb = decode_bases(q), decode_bases(t)
+        while True:
+            b = bandshard.band_for_mesh(min(band, full), n)
+            score, items = bandshard.align_pair_sharded(
+                mesh,
+                qb,
+                tb,
+                mismatch=pen.mismatch,
+                o1=pen.gap1_open,
+                e1=pen.gap1_extend,
+                o2=pen.gap2_open if pen.two_piece else -1,
+                e2=pen.gap2_extend if pen.two_piece else -1,
+                band=b,
+            )
+            if b >= full or score < self._cert_bound(b, qlen, tlen):
+                break
+            self.stats["band_escalations"] += 1
+            band = self._escalated_band(score, b, qlen, tlen)
+        self.stats["band_sharded"] += 1
+        self.stats["cells_true"] += (qlen + tlen + 1) * (b + 1)
+        if score > self._pair_cap(qlen, tlen):
+            return (p, rc), None  # certified-exact score exceeds the cap
+        return (p, rc), AlignmentResult(int(qi), int(tj), rc, score, items)
 
     def _make_nw_chunks(self, queue, pairs):
         """Pack jobs into as FEW dispatches as possible (measured: the

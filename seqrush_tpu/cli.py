@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--mesh-devices", type=int, default=None, dest="mesh_devices",
         help="shard alignment batches over N local devices",
     )
+    p.add_argument(
+        "--memory-budget-bytes", type=int, default=None, dest="memory_budget_bytes",
+        help="device memory per alignment dispatch; with --mesh-devices, a "
+        "pair whose traceback alone exceeds this routes through the "
+        "band-sharded kernel (sequence parallelism)",
+    )
     return p
 
 

@@ -163,6 +163,80 @@ def test_default_band_exact_at_full_divergence():
     assert score == oracle
 
 
+def test_runner_routes_over_budget_pair_to_band_shard():
+    """Automatic routing (VERDICT r2 #2): with a mesh configured, a job
+    whose traceback footprint alone busts the per-dispatch memory budget
+    aligns via the lane-sharded kernel instead of dispatching over-budget —
+    exactly, with band certification/escalation intact."""
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def rand(n):
+        return bases[rng.integers(0, 4, size=n)].tobytes()
+
+    # balanced excursion (translocated 400bp block): zero length difference
+    # but the optimal path needs diagonals +-400 — the certified band (and
+    # so the traceback tensor) is wide, busting a small budget
+    A, B, C, X = rand(250), rand(300), rand(250), rand(400)
+    q, t = A + X + B + C, A + B + X + C
+    seqs = make_sequence_set([("q", q), ("t", t)])
+    cfg = RunnerConfig(
+        scores=AlignmentScores.parse("0,5,8,2,24,1"),
+        mesh=make_mesh(8),
+        memory_budget_bytes=4_000_000,
+    )
+    al = WfaAligner(seqs, cfg)
+    res = al.align_pairs(np.array([[0, 1]]))
+    assert al.stats["band_sharded"] >= 1
+    assert len(res) == 1
+    oracle = wfa.affine2p_score_dp(encode_bases(q), encode_bases(t), PEN)
+    assert res[0].score == oracle
+    qc = sum(n for n, op in res[0].cigar if op in "=XI")
+    tc = sum(n for n, op in res[0].cigar if op in "=XD")
+    assert qc == len(q) and tc == len(t)
+
+
+def test_pipeline_band_shard_route_golden_gate(tmp_path):
+    """e2e: a pathological pair exceeds the single-device budget inside a
+    full pipeline run over a mesh; the GFA still writes through the golden
+    path-reconstruction gate."""
+    from seqrush_tpu.config import Args
+    from seqrush_tpu.pipeline import SeqRushTPU
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def rand(n):
+        return bases[rng.integers(0, 4, size=n)].tobytes()
+
+    A, B, C, X = rand(200), rand(250), rand(200), rand(350)
+    fam = [("s0", A + X + B + C), ("s1", A + B + X + C)]
+    v = bytearray(fam[0][1])
+    for pos in rng.integers(0, len(v), size=4):
+        v[pos] = bases[rng.integers(0, 4)]
+    fam.append(("s2", bytes(v)))
+    seqs = make_sequence_set(fam)
+    out = str(tmp_path / "shard.gfa")
+    sr = SeqRushTPU(
+        seqs,
+        Args(
+            output=out,
+            mesh_devices=8,
+            memory_budget_bytes=3_000_000,
+            no_sort=True,
+        ),
+    )
+    sr.align_and_unite()
+    g = sr.write_gfa()  # hard-fails unless every path reconstructs
+    assert sr.stats["aligner"]["band_sharded"] >= 1
+    assert sr.validate_paths_match_sequences(g) == []
+
+
 def test_band_for_mesh():
     assert (band_for_mesh(100, 8, quantum=16) + 1) % (8 * 16) == 0
     assert band_for_mesh(127, 4, quantum=32) == 127
