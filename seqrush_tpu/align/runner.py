@@ -128,6 +128,11 @@ class RunnerConfig:
     # backend where the captures are free stores (Pallas, GPU).
     fold: bool | str = False
     fold_max_batch: int = 128
+    # seed-frequency cutoff for the sweepga backend (FastGA's -f threshold,
+    # forwarded by the reference's --frequency flag, seqrush.rs:795-802);
+    # None = no cutoff.  Ignored by the allwave (exact all-pairs) backend,
+    # which has no seeding stage.
+    frequency: int | None = None
     # traceback emission on the fused device path: 'runs' fetches run-length
     # (op, len) tokens ([B, nw.RUN_MAX] int32, ~6x smaller than packed
     # opcodes over the slow host link) and decodes at run granularity;

@@ -51,9 +51,21 @@ def minimizers(codes: np.ndarray, k: int = 15, w: int = 10) -> tuple[np.ndarray,
 
 
 def anchor_matches(
-    q_codes: np.ndarray, t_codes: np.ndarray, k: int = 15, w: int = 10
+    q_codes: np.ndarray,
+    t_codes: np.ndarray,
+    k: int = 15,
+    w: int = 10,
+    max_freq: int | None = None,
 ) -> np.ndarray:
-    """[A, 2] (qpos, tpos) exact k-mer anchors between minimizer sets."""
+    """[A, 2] (qpos, tpos) exact k-mer anchors between minimizer sets.
+
+    ``max_freq`` is the seed-frequency cutoff (FastGA's ``-f`` threshold,
+    forwarded by the reference as the --frequency flag,
+    /root/reference/src/seqrush.rs:795-802): a query minimizer whose value
+    occurs more than max_freq times in the target's minimizer index is not
+    used as a seed — repeat k-mers would otherwise explode the anchor list
+    quadratically and seed spurious repeat-to-repeat chains.
+    """
     qp, qv = minimizers(q_codes, k, w)
     tp, tv = minimizers(t_codes, k, w)
     if qp.size == 0 or tp.size == 0:
@@ -64,6 +76,8 @@ def anchor_matches(
     lo = np.searchsorted(tv_s, qv, side="left")
     hi = np.searchsorted(tv_s, qv, side="right")
     counts = hi - lo
+    if max_freq is not None:
+        counts = np.where(counts > max_freq, 0, counts)
     if counts.sum() == 0:
         return np.zeros((0, 2), np.int64)
     qidx = np.repeat(np.arange(qp.size), counts)
@@ -121,6 +135,52 @@ def chain_anchors(
         if out[i, 0] > out[keep[-1], 0] and out[i, 1] > out[keep[-1], 1]:
             keep.append(i)
     return out[keep]
+
+
+def chain_anchors_multi(
+    anchors: np.ndarray,
+    k: int = 15,
+    max_chains: int = 16,
+    min_matched: int = 50,
+    max_gap: int = 5000,
+    max_skew: int = 2000,
+) -> list[np.ndarray]:
+    """Extract up to ``max_chains`` disjoint colinear chains, best first.
+
+    The reference's FastGA emits EVERY local alignment between a pair
+    (repeats, rearranged blocks each get their own record) and leaves
+    selection to the downstream 1:1 plane-sweep filter
+    (/root/reference/src/aligner/sweepga_impl.rs:148-170).  This is the
+    analog: after each best chain is extracted, anchors inside its
+    query-AND-target span are removed (same block), while anchors mapping
+    the same query span to a DIFFERENT target span (repeat copies) or vice
+    versa survive to seed secondary chains.  Chains whose exact-matched
+    base count falls below ``min_matched`` stop the extraction.
+    """
+    chains: list[np.ndarray] = []
+    remaining = anchors
+    while remaining.shape[0] and len(chains) < max_chains:
+        chain = chain_anchors(remaining, k, max_gap=max_gap, max_skew=max_skew)
+        if chain.shape[0] == 0:
+            break
+        matched = sum(n for _q, _t, n in chain_to_runs(chain, k))
+        if matched < min_matched and chains:
+            break
+        chains.append(chain)
+        if matched < min_matched:
+            break
+        q0, q1 = int(chain[0, 0]), int(chain[-1, 0]) + k
+        t0, t1 = int(chain[0, 1]), int(chain[-1, 1]) + k
+        inside = (
+            (remaining[:, 0] >= q0)
+            & (remaining[:, 0] < q1)
+            & (remaining[:, 1] >= t0)
+            & (remaining[:, 1] < t1)
+        )
+        if not inside.any():
+            break  # chain removed nothing: avoid an infinite loop
+        remaining = remaining[~inside]
+    return chains
 
 
 def chain_to_runs(chain: np.ndarray, k: int) -> list[tuple[int, int, int]]:

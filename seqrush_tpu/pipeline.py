@@ -195,6 +195,7 @@ class SeqRushTPU:
             mesh=mesh,
             max_chunk_pairs=args.max_chunk_pairs,
             threads=args.threads,
+            frequency=args.frequency,
             **cfg_kw,
         )
         aligner = _AlignerCls(self.seqs, cfg)
@@ -314,7 +315,10 @@ class SeqRushTPU:
                 by_pair.setdefault((r.query_idx, r.target_idx), deque()).append(r)
             for i, j in batch:
                 dq = by_pair.get((int(i), int(j)))
-                if dq:
+                while dq:
+                    # all records of this pair (multi-chain backends emit
+                    # several) unite before the pair advances the counter,
+                    # as the reference's inner for-alignment loop does
                     self._result_to_unites(dq.popleft(), self.args.min_match_length)
                 # else: the pair was dropped (divergence cap) — it still
                 # advances the check counter, as in the reference
