@@ -99,9 +99,13 @@ def inversion_patch_alignments(results, aligner, min_match_length: int):
     """For each forward alignment, re-align candidate inversion windows with
     the target window RC'd; returns patch unite-pairs (u, v) Pos arrays.
 
-    Acceptance rule from the reference (:179-212): the inverted window
-    alignment must complete and score < half of a same-size all-divergent
-    window (i.e., it is genuinely similar in reverse orientation).
+    Acceptance rule from the reference
+    (/root/reference/src/inversion_aware_seqrush.rs:179-212): the inverted
+    window alignment must complete AND score strictly less than HALF THE
+    FULL FORWARD ALIGNMENT's score (``inv_score < score / 2``, integer
+    division) — a patch over a window of a nearly-identical pair (small
+    forward score) is held to a much stricter bar than one inside a
+    divergent alignment.
     """
     from ..ops import wfa
     from ..ops.wfa import Penalties
@@ -167,10 +171,9 @@ def inversion_patch_alignments(results, aligner, min_match_length: int):
 
     us, vs = [], []
     for b, (res, gap, qw, rc_tw) in enumerate(jobs):
-        # acceptance (reference rule): the inverted-window alignment must be
-        # clearly better than an all-divergent window
-        cap = max(1, (sc.mismatch_penalty * max(int(qlens[b]), int(tlens[b]))) // 2 - 1)
-        if scores[b] < 0 or scores[b] > cap:
+        # reference acceptance: completed AND inv_score < forward_score / 2
+        # (inversion_aware_seqrush.rs:190)
+        if scores[b] < 0 or int(scores[b]) >= res.score // 2:
             continue
         items = nw.traceback_pair(tb[b], int(qlens[b]), int(tlens[b]), band)
         items = nw.resolve_matches(items, qw, rc_tw)

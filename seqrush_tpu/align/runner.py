@@ -337,6 +337,45 @@ class WfaAligner:
             return results
 
         is_rev = self.choose_orientations(pairs)
+        results = self._align_pairs_wfa(pairs, is_rev, pen)
+
+        self.stats["alignments"] += len(results)
+        self.stats["wall_s"] += time.time() - t0
+        if self.cfg.verbose:
+            print(
+                f"[runner] aligned {len(results)}/{len(pairs)} pairs in "
+                f"{self.stats['wall_s']:.2f}s ({self.stats['dropped']} dropped)"
+            )
+        return results
+
+    def align_pairs_oriented(self, pairs, is_rev) -> list[AlignmentResult]:
+        """Align every pair in a FORCED orientation, skipping the mash/probe
+        orientation stage — the reference's inversion-aware pipeline aligns
+        every distinct pair BOTH fwd-fwd and fwd-rev unconditionally
+        (/root/reference/src/inversion_aware_seqrush.rs:140-251); this is
+        the primitive that mode builds on."""
+        t0 = time.time()
+        pairs = np.asarray(pairs)
+        if len(pairs) == 0:
+            return []
+        sc = self.cfg.scores
+        pen = Penalties(
+            sc.mismatch_penalty,
+            sc.gap1_open,
+            sc.gap1_extend,
+            sc.gap2_open if sc.has_two_piece else None,
+            sc.gap2_extend if sc.has_two_piece else None,
+        )
+        forced = np.asarray(is_rev, dtype=bool)
+        if self.cfg.kernel == "nw":
+            results = self._align_pairs_nw(pairs, pen, forced_rev=forced)
+        else:
+            results = self._align_pairs_wfa(pairs, forced, pen)
+        self.stats["alignments"] += len(results)
+        self.stats["wall_s"] += time.time() - t0
+        return results
+
+    def _align_pairs_wfa(self, pairs, is_rev, pen) -> list[AlignmentResult]:
         results = []
         # order pairs by max length for bucketing
         maxlens = np.array(
@@ -354,14 +393,6 @@ class WfaAligner:
             if retries:
                 self.stats["escalations"] += len(retries)
             pending.extend(retries)
-
-        self.stats["alignments"] += len(results)
-        self.stats["wall_s"] += time.time() - t0
-        if self.cfg.verbose:
-            print(
-                f"[runner] aligned {len(results)}/{len(pairs)} pairs in "
-                f"{self.stats['wall_s']:.2f}s ({self.stats['dropped']} dropped)"
-            )
         return results
 
     # -- banded anti-diagonal Gotoh path --------------------------------------
@@ -429,8 +460,16 @@ class WfaAligner:
                 return b
         return _round_up(n, 64)
 
-    def _align_pairs_nw(self, pairs, pen) -> list[AlignmentResult]:
-        is_rev, undecided, d_est = self._orient_and_estimate(pairs)
+    def _align_pairs_nw(self, pairs, pen, forced_rev=None) -> list[AlignmentResult]:
+        if forced_rev is not None:
+            # forced orientation: no probe stage; the sketch still sizes the
+            # initial band, using the FORCED orientation's divergence
+            d_fwd, d_rc = self._sketch_orientation_distances(pairs)
+            is_rev = forced_rev
+            undecided = np.zeros(len(pairs), dtype=bool)
+            d_est = np.where(is_rev, d_rc, d_fwd)
+        else:
+            is_rev, undecided, d_est = self._orient_and_estimate(pairs)
         # jobs: (pair_idx, rc, band, force_int32).  Sketch-undecided pairs
         # enter the batch in BOTH orientations (the reference's orientation
         # probe as part of the main alignment — zero extra dispatches);

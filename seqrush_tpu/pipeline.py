@@ -228,20 +228,35 @@ class SeqRushTPU:
             if args.verbose:
                 print(f"Total sequence pairs: {len(pairs)} (sparsification: {spars.kind})")
             pairs = self._host_stripe_pairs(pairs)
-            with self.timer.phase("align"):
-                results = aligner.align_pairs(pairs)
-            self.timer.count("alignments", len(results))
-            if not (spars.kind != "none" or args.iterative):
-                self._paf_out(results)
-            for res in results:
-                self._result_to_unites(res, args.min_match_length)
             if args.inversion_aware:
+                # reference inversion_aware_seqrush mode (:140-251): every
+                # pair aligns fwd-fwd AND full fwd-rev unconditionally, and
+                # divergent gaps of the forward alignment re-align as RC
+                # patches accepted iff inv_score < fwd_score/2
                 from .align.inversion import inversion_patch_alignments
 
+                P = len(pairs)
+                with self.timer.phase("align"):
+                    res_f = aligner.align_pairs_oriented(pairs, np.zeros(P, bool))
+                    res_r = aligner.align_pairs_oriented(pairs, np.ones(P, bool))
+                results = res_f + res_r
+                self.timer.count("alignments", len(results))
+                if not (spars.kind != "none" or args.iterative):
+                    self._paf_out(results)
+                for res in results:
+                    self._result_to_unites(res, args.min_match_length)
                 u, v = inversion_patch_alignments(
-                    results, aligner, args.min_match_length
+                    res_f, aligner, args.min_match_length
                 )
                 self._queue_unites(u, v)
+            else:
+                with self.timer.phase("align"):
+                    results = aligner.align_pairs(pairs)
+                self.timer.count("alignments", len(results))
+                if not (spars.kind != "none" or args.iterative):
+                    self._paf_out(results)
+                for res in results:
+                    self._result_to_unites(res, args.min_match_length)
         self._flush_unites()
         self.stats["aligner"] = aligner.stats
 

@@ -65,6 +65,56 @@ def test_size_ratio_rule():
     assert is_potential_inversion(g2, 20)
 
 
+def test_patch_accept_and_reject_branches():
+    """Pins the reference's patch acceptance rule — completed AND
+    inv_score < forward_score/2 (inversion_aware_seqrush.rs:190):
+    a true inverted middle is accepted; an equally large RANDOM divergent
+    middle (garbage in both orientations) is rejected."""
+    from seqrush_tpu.align.inversion import inversion_patch_alignments
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+
+    left = rand_seq(150, 11)
+    mid = rand_seq(90, 12)
+    right = rand_seq(150, 13)
+
+    def patches(mid2):
+        seqs = make_sequence_set([("a", left + mid + right), ("b", left + mid2 + right)])
+        al = WfaAligner(seqs, RunnerConfig(scores=AlignmentScores.parse("0,5,8,2,24,1")))
+        res_f = al.align_pairs_oriented(np.array([[0, 1]]), np.zeros(1, bool))
+        assert len(res_f) == 1 and not res_f[0].is_reverse
+        u, v = inversion_patch_alignments(res_f, al, min_match_length=0)
+        return u
+
+    # accept branch: the middle really is an inversion -> RC window aligns
+    # near-perfectly, far under half the forward score
+    assert patches(revcomp(mid)).size > 0
+    # reject branch: random replacement -> RC window is as bad as forward
+    assert patches(rand_seq(90, 14)).size == 0
+
+
+def test_full_fwd_rev_pass_unites_whole_rc_pair():
+    """The reference mode also aligns every distinct pair full fwd-rev
+    (inversion_aware_seqrush.rs:225-251): a pair that is a COMPLETE reverse
+    complement (which gap patches never see — the forward alignment has no
+    anchor matches) still unites under --inversion-aware."""
+    s1 = rand_seq(300, 15)
+    s2 = revcomp(s1)
+    seqs = make_sequence_set([("f", s1), ("r", s2)])
+    sr = SeqRushTPU(
+        seqs,
+        Args(no_sort=True, no_compact=True, output="/tmp/frc.gfa",
+             inversion_aware=True, min_match_length=10),
+    )
+    sr.align_and_unite()
+    g = sr.write_gfa()
+    assert sr.validate_paths_match_sequences(g) == []
+    # fully united: ~300 nodes, not ~600 separate ones
+    assert g.node_count() <= 320
+    # the second path walks in reverse orientation
+    assert (g.paths[1].steps & 1).sum() >= 250
+
+
 def test_inversion_aware_pipeline_shares_middle():
     """Middle-inverted pair: inversion-aware mode unites the inverted middle
     (reverse-orientation steps), plain mode leaves it separate."""
