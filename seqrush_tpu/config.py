@@ -58,6 +58,10 @@ class Args:
     # TPU-specific extensions
     band_slack: int = 64
     seed: int = 42
+    # final Ygs ordering: 'best' = pick the lowest-RMSE of four candidate
+    # orderings (quality default, layout/ygs.py), 'stable' =
+    # bounded-displacement SGD-stable topo, 'odgi' = reference/ODGI 's'
+    topo_mode: str = "best"
     inversion_aware: bool = False  # reference inversion_aware_seqrush mode
     mesh_devices: int | None = None  # shard alignment batches over N devices
     # write a machine-readable run profile (phase timings, aligner stats,

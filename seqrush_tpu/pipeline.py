@@ -479,6 +479,7 @@ class SeqRushTPU:
             params.theta = args.sgd_theta
             params.eps = args.sgd_eps
             params.cooling_start = args.sgd_cooling_start
+            params.topo_mode = args.topo_mode
             if args.sgd_eta_max is not None:
                 params.eta_max = args.sgd_eta_max
             ygs_sort(
