@@ -39,6 +39,10 @@ import numpy as np
 INF = jnp.int32(2**28)
 QPAD = 6
 TPAD = 7
+# streamed substitution windows in _sweep_v3 (carried [B, W] windows +
+# one-lane shifts instead of per-row dynamic slices).  Trace-time flag for
+# kernel A/B measurement only — call jax.clear_caches() after flipping.
+STREAM_WINDOWS = True
 
 # traceback byte layout: bits 0-2 H choice (0=match/mismatch diag, 1=D1,
 # 2=I1, 3=D2, 4=I2, 7=invalid); bit 3 I1 opened; bit 4 I2 opened;
@@ -292,6 +296,33 @@ def _sweep_v3(
     Qp = jnp.pad(Q, ((0, 0), (1, W)), constant_values=QPAD)
     Trev = jnp.pad(T[:, ::-1], ((0, 0), (W, W)), constant_values=TPAD)
 
+    # streamed substitution windows: the window start moves by EXACTLY -1
+    # per row (target side) / +1 per macro step (query side), so the
+    # per-row dynamic_slice windows can instead be carried [B, W] arrays
+    # updated by a one-lane shift whose incoming column is a precomputed
+    # scan input — removing 3 fusion-breaking dynamic-slice regions per
+    # macro step from the serial body (the measured per-step cost is
+    # per-REGION sequencing overhead, docs/ROUND2_NOTES.md).  Dead rows
+    # whose v3 window start would have clipped have no valid lanes (their
+    # i0 > qlen for every lane), so the streamed values there may differ
+    # without affecting any score, FIN capture, or walked traceback cell.
+    stream = STREAM_WINDOWS and t_snap is None
+    if stream:
+        TA_s = min(K, tmax)
+        M_s = max(0, -(-(tmax - TA_s) // 2))
+        # extend paddings so the streams never index out of bounds
+        eq = max(0, M_s - Lq)
+        Qps = jnp.pad(Q, ((0, 0), (1, W + eq)), constant_values=QPAD)
+        et = max(0, K + M_s - Lt - W)
+        TrevS = jnp.pad(T[:, ::-1], ((0, 0), (W + et, W)), constant_values=TPAD)
+        # phase A incoming target columns: old coords Lt+W-t, t = 1..TA
+        tcols_a = TrevS[:, et + Lt + W - TA_s : et + Lt + W][:, ::-1].T
+        # phase B: query cols at W+m, target cols at Lt+W-K-1-m (old coords)
+        qcols_b = Qps[:, W : W + M_s].T
+        tcols_b = TrevS[:, et + Lt + W - K - M_s : et + Lt + W - K][:, ::-1].T
+        qwin0 = Qps[:, :W]
+        twin0 = TrevS[:, et + Lt + W : et + Lt + 2 * W]
+
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
     fin_t = qlens + tlens  # [B]
 
@@ -387,13 +418,21 @@ def _sweep_v3(
 
     # ---- phase A: t in [1, TA], i0 = 0 -----------------------------------
     TA = min(K, tmax)
-    qwin_a = Qp[:, :W]  # static: i0 = 0 throughout phase A
+    qwin_a = Qp[:, :W] if not stream else qwin0  # static: i0 = 0 in phase A
 
-    def body_a(carry, t):
-        S, FIN, snaps = carry
+    def body_a(carry, xs):
+        if stream:
+            S, FIN, snaps, Twin = carry
+            t, tcol = xs
+            Twin = jnp.concatenate([tcol[:, None], Twin[:, :-1]], axis=1)
+            twin = Twin
+        else:
+            S, FIN, snaps = carry
+            t = xs
+            twin = twin_at(t, 0)
         R = sr6(S)
         deps = (R[0], S[0], R[1], R[2], S[3], R[4], S[5])
-        sub = jnp.where(qwin_a == twin_at(t, 0), 0, mismatch).astype(dtype)
+        sub = jnp.where(qwin_a == twin, 0, mismatch).astype(dtype)
 
         def valid_fn():
             i = lanes
@@ -404,27 +443,43 @@ def _sweep_v3(
         FIN = jnp.where((t == fin_t)[:, None], Hn, FIN)
         Sn = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
         snaps = snap_update(snaps, t, Sn, Hdiag)
-        return (Sn, FIN, snaps), packed if with_traceback else jnp.zeros((B, 0), jnp.uint8)
+        out = (Sn, FIN, snaps, Twin) if stream else (Sn, FIN, snaps)
+        return out, packed if with_traceback else jnp.zeros((B, 0), jnp.uint8)
 
-    carry = (S, FIN, snaps0)
     ts_a = jnp.arange(1, TA + 1, dtype=jnp.int32)
-    carry, tb_a = jax.lax.scan(body_a, carry, ts_a, unroll=unroll)
+    if stream:
+        carry = (S, FIN, snaps0, twin0)
+        carry, tb_a = jax.lax.scan(
+            body_a, carry, (ts_a, tcols_a), unroll=unroll
+        )
+    else:
+        carry = (S, FIN, snaps0)
+        carry, tb_a = jax.lax.scan(body_a, carry, ts_a, unroll=unroll)
 
     # ---- phase B: macro-steps of (dp=1, dp=0) rows ------------------------
     M = max(0, -(-(tmax - TA) // 2))
     T_total = TA + 2 * M
 
-    def body_b(carry, m):
-        S, FIN, snaps = carry
+    def body_b(carry, xs):
+        if stream:
+            S, FIN, snaps, qwin, Twin = carry
+            m, qcol, tcol = xs
+            qwin = jnp.concatenate([qwin[:, 1:], qcol[:, None]], axis=1)
+            twin1 = Twin  # t1's window == previous row's (start unchanged)
+        else:
+            S, FIN, snaps = carry
+            m = xs
         t1 = TA + 1 + 2 * m
         i0 = (t1 - K + 1) // 2
-        qwin = jax.lax.dynamic_slice_in_dim(
-            Qp, jnp.clip(i0, 0, Qp.shape[1] - W), W, axis=1
-        )
+        if not stream:
+            qwin = jax.lax.dynamic_slice_in_dim(
+                Qp, jnp.clip(i0, 0, Qp.shape[1] - W), W, axis=1
+            )
+            twin1 = twin_at(t1, i0)
         # row 1: dp = 1, dpp = 1 — up/diag identity, left shift_left
         L = sl6(S)
         deps = (S[0], L[0], S[1], S[2], L[3], S[4], L[5])
-        sub = jnp.where(qwin == twin_at(t1, i0), 0, mismatch).astype(dtype)
+        sub = jnp.where(qwin == twin1, 0, mismatch).astype(dtype)
 
         def valid1():
             i = i0 + lanes
@@ -437,9 +492,14 @@ def _sweep_v3(
         snaps = snap_update(snaps, t1, S, Hdiag)
         # row 2: t2 = t1 + 1, dp = 0, dpp = 1 — up shift_right, left/diag id
         t2 = t1 + 1
+        if stream:
+            Twin = jnp.concatenate([tcol[:, None], Twin[:, :-1]], axis=1)
+            twin2 = Twin
+        else:
+            twin2 = twin_at(t2, i0)
         R = sr6(S)
         deps = (R[0], S[0], S[1], R[2], S[3], R[4], S[5])
-        sub = jnp.where(qwin == twin_at(t2, i0), 0, mismatch).astype(dtype)
+        sub = jnp.where(qwin == twin2, 0, mismatch).astype(dtype)
 
         def valid2():
             i = i0 + lanes
@@ -453,12 +513,23 @@ def _sweep_v3(
         ys = (
             jnp.stack([p1, p2]) if with_traceback else jnp.zeros((2, B, 0), jnp.uint8)
         )
-        return (Sn, FIN, snaps), ys
+        out = (Sn, FIN, snaps, qwin, Twin) if stream else (Sn, FIN, snaps)
+        return out, ys
 
     if M > 0:
         ms = jnp.arange(M, dtype=jnp.int32)
-        carry, tb_b = jax.lax.scan(body_b, carry, ms, unroll=max(unroll // 2, 1))
-    S, FIN, snaps_out = carry
+        if stream:
+            S_c, FIN_c, snaps_c, Twin_c = carry
+            carry = (S_c, FIN_c, snaps_c, qwin_a, Twin_c)
+            carry, tb_b = jax.lax.scan(
+                body_b, carry, (ms, qcols_b, tcols_b),
+                unroll=max(unroll // 2, 1),
+            )
+        else:
+            carry, tb_b = jax.lax.scan(
+                body_b, carry, ms, unroll=max(unroll // 2, 1)
+            )
+    S, FIN, snaps_out = carry[0], carry[1], carry[2]
 
     # extract per-pair final-lane score (one masked reduce, outside the loop)
     i0_fin = jnp.maximum((fin_t - K + 1) // 2, 0)

@@ -320,6 +320,46 @@ def test_v3_matches_v1(seed):
         np.testing.assert_array_equal(np.asarray(o1_), np.asarray(o3_))
 
 
+def test_stream_windows_matches_dynamic_slice():
+    """The streamed substitution windows (carried [B, W] windows + one-lane
+    shifts) are score- and opcode-identical to the dynamic-slice windows
+    across shape edge cases: tmax far beyond the sequences (dead sliding
+    rows), band wider than the sequences, unequal lengths with M > Lq, and
+    zero-length dummies."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    q0 = bases[rng.integers(0, 4, 90)]
+    t0 = bytearray(q0.tobytes())
+    del t0[30:45]
+    t0[60:60] = bases[rng.integers(0, 4, 8)].tobytes()
+    qs = [q0, bases[rng.integers(0, 4, 12)], np.zeros(0, np.uint8),
+          bases[rng.integers(0, 4, 250)]]
+    ts = [np.frombuffer(bytes(t0), np.uint8), bases[rng.integers(0, 4, 240)],
+          np.zeros(0, np.uint8), bases[rng.integers(0, 4, 20)]]
+    lq = max(q.size for q in qs)
+    lt = max(t.size for t in ts)
+    Q = np.stack([np.concatenate([q, np.full(lq - q.size, nw.QPAD, np.uint8)]) for q in qs])
+    T = np.stack([np.concatenate([t, np.full(lt - t.size, nw.TPAD, np.uint8)]) for t in ts])
+    qlens = np.array([q.size for q in qs], np.int32)
+    tlens = np.array([t.size for t in ts], np.int32)
+    for band, tmax in ((63, int((qlens + tlens).max())), (127, 900), (511, 1200)):
+        kw = dict(mismatch=PEN.mismatch, o1=PEN.gap1_open, e1=PEN.gap1_extend,
+                  o2=PEN.gap2_open, e2=PEN.gap2_extend, band=band, tmax=tmax)
+        outs = {}
+        for flag in (True, False):
+            nw.STREAM_WINDOWS = flag
+            jax.clear_caches()
+            try:
+                outs[flag] = nw.nw_align_with_opcodes(Q, T, qlens, tlens, **kw)
+            finally:
+                nw.STREAM_WINDOWS = True
+        jax.clear_caches()
+        np.testing.assert_array_equal(np.asarray(outs[True][0]), np.asarray(outs[False][0]))
+        np.testing.assert_array_equal(np.asarray(outs[True][1]), np.asarray(outs[False][1]))
+
+
 def test_v3_single_piece_and_tiny_band():
     """v3 parity in single-piece mode and with band wider than sequences."""
     pairs = [(b"ACGTACGT", b"ACGTTACGT"), (b"A", b"G"), (b"ACACAC", b"ACACAC")]
