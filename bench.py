@@ -229,6 +229,37 @@ def main():
         e2e = 0.0
         print(f"[bench] e2e run failed: {e}", file=sys.stderr)
 
+    # sweepga backend throughput on the same saturated workload (the
+    # reference's FastGA+filter path is its FAST mode, estimated 5-10x its
+    # WFA path, docs/sweepga_integration.md:403-406 — so it needs its own
+    # measured number; VERDICT r2 #3)
+    sweep_value = 0.0
+    try:
+        from seqrush_tpu.align.sweep import SweepAligner
+
+        al_sw = SweepAligner(seqs_sat, cfg)
+        al_sw.align_pairs(pairs_sat)  # warm compiles
+        sw_best = None
+        for _ in range(2):
+            for attr in ("_mh_fwd", "_mh_rc"):
+                if hasattr(al_sw, attr):
+                    delattr(al_sw, attr)
+            t0 = time.time()
+            res_sw = al_sw.align_pairs(pairs_sat)
+            dtw = time.time() - t0
+            if sw_best is None or dtw < sw_best:
+                sw_best = dtw
+        sweep_value = len(pairs_sat) / sw_best
+        print(
+            f"[bench] sweepga backend: {len(pairs_sat)} pairs in "
+            f"{sw_best:.3f}s = {sweep_value:.0f} pairs/s "
+            f"({len(res_sw)} records kept, {al_sw.stats['chains']} chains, "
+            f"{al_sw.stats['filtered_1to1']} filtered 1:1)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] sweepga run failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -239,6 +270,7 @@ def main():
                 "latency_72pair_alignments_per_s": round(lat_value, 2),
                 "saturated_gcells_per_s": round(sat_gcells, 2),
                 "e2e_fasta_to_gfa_s": round(e2e, 2),
+                "sweepga_600pair_pairs_per_s": round(sweep_value, 2),
             }
         )
     )

@@ -93,15 +93,21 @@ class _Mapping:
 def _plane_sweep_axis(mappings: list[_Mapping], axis: str) -> set[int]:
     """Indices of mappings surviving the 1:1 sweep on one axis.
 
-    Per sequence group (query name or target name), walk records best-score
-    first; a record is discarded when a single better-scoring kept record
-    shadows more than OVERLAP_THRESHOLD of its interval — i.e. only the
-    best mapping survives at each axis position, secondaries are dropped
-    (plane_sweep_secondaries=0, mapping_max_per_{query,target}=1)."""
-    by_group: dict[int, list[int]] = {}
+    Grouping follows the wfmash/sweepga family's prefix grouping
+    (FilterConfig prefix_delimiter '#', sweepga_impl.rs:165): sequences
+    without a PanSN '#' prefix — which is what seqrush feeds FastGA — each
+    form their own group, so the sweep runs PER (query, target) SEQUENCE
+    PAIR.  Within a pair, walk records best-score first; a record is
+    discarded when a better-scoring kept record shadows more than
+    OVERLAP_THRESHOLD of its axis interval — at most one mapping per
+    position on each axis (plane_sweep_secondaries=0,
+    mapping_max_per_{query,target}=1).  Cross-target winner-take-all would
+    be wrong here: all-pairs graph construction needs every pair's best
+    chain (the doc's own rationale — "transitive closure works correctly",
+    docs/sweepga_integration.md:108-112 — presumes each pair contributes)."""
+    by_group: dict[tuple[int, int], list[int]] = {}
     for idx, m in enumerate(mappings):
-        key = m.qi if axis == "query" else m.tj
-        by_group.setdefault(key, []).append(idx)
+        by_group.setdefault((m.qi, m.tj), []).append(idx)
     keep: set[int] = set()
     for idxs in by_group.values():
         idxs.sort(key=lambda i: (-mappings[i].score, i))
@@ -124,14 +130,22 @@ def _plane_sweep_axis(mappings: list[_Mapping], axis: str) -> set[int]:
 
 def filter_one_to_one(mappings: list[_Mapping]) -> list[_Mapping]:
     """The reference's FilterConfig applied natively: min_block_length,
-    then OneToOne = survive the plane sweep on BOTH the query axis and the
-    target axis (sweepga_impl.rs:148-170)."""
+    then OneToOne = the query-axis plane sweep followed by the target-axis
+    sweep over the query survivors (sweepga_impl.rs:148-170).  SEQUENTIAL,
+    not an intersection of independent sweeps: on all-vs-all inputs every
+    query's mappings overlap each other fully, so intersecting independent
+    per-axis winners would keep only mutual-best pairs (measured: 6 of
+    1,800 chains on a 25-clone workload) — the sequential sweep keeps the
+    per-query best and then resolves target collisions among those,
+    which is what 1:1 filtering means for graph construction (the
+    union-find closes transitively over best-buddy unites)."""
     mappings = [m for m in mappings if m.block_len >= MIN_BLOCK_LENGTH]
     if not mappings:
         return []
     keep_q = _plane_sweep_axis(mappings, "query")
-    keep_t = _plane_sweep_axis(mappings, "target")
-    return [m for i, m in enumerate(mappings) if i in keep_q and i in keep_t]
+    survivors = [m for i, m in enumerate(mappings) if i in keep_q]
+    keep_t = _plane_sweep_axis(survivors, "target")
+    return [m for i, m in enumerate(survivors) if i in keep_t]
 
 
 class SweepAligner(WfaAligner):
@@ -144,6 +158,17 @@ class SweepAligner(WfaAligner):
         self.w = w
         self.stats.setdefault("chains", 0)
         self.stats.setdefault("filtered_1to1", 0)
+        # per-(sequence, orientation) minimizer cache: the FastGA analog
+        # indexes each sequence ONCE, not once per pair (25 seqs = 50
+        # minimizer passes instead of 1,200 for the all-pairs workload)
+        self._min_cache: dict[tuple[int, bool], tuple] = {}
+
+    def _minimizers(self, idx: int, rc: bool):
+        key = (idx, rc)
+        if key not in self._min_cache:
+            codes = self.rc_codes[idx] if rc else self.codes[idx]
+            self._min_cache[key] = anchors_mod.minimizers(codes, self.k, self.w)
+        return self._min_cache[key]
 
     def align_pairs(self, pairs: np.ndarray) -> list[AlignmentResult]:
         t0 = time.time()
@@ -163,9 +188,10 @@ class SweepAligner(WfaAligner):
         mappings: list[_Mapping] = []
         for p, (qi, tj) in enumerate(pairs):
             q = self.rc_codes[qi] if is_rev[p] else self.codes[qi]
-            t = self.codes[tj]
-            a = anchors_mod.anchor_matches(
-                q, t, self.k, self.w, max_freq=self.cfg.frequency
+            a = anchors_mod.anchor_matches_from_minimizers(
+                self._minimizers(int(qi), bool(is_rev[p])),
+                self._minimizers(int(tj), False),
+                max_freq=self.cfg.frequency,
             )
             for chain in anchors_mod.chain_anchors_multi(a, self.k):
                 runs = anchors_mod.chain_to_runs(chain, self.k)
@@ -231,7 +257,15 @@ class SweepAligner(WfaAligner):
         tensor this replaces was the exact slow fetch the round-2 runner
         work eliminated (VERDICT r2 weak #3).  Pairs whose walk overflows
         RUN_MAX retry via the opcode emission."""
+        gap_cigars: dict[tuple[int, int], list[tuple[int, str]]] = {}
         gap_jobs = []  # (mapping_idx, gap_idx, q_window, t_window)
+        # equal-length windows of n bases where n*mismatch <= 2*min gap
+        # cost are provably all-diagonal (any path leaving the diagonal
+        # needs an I-run AND a D-run) — SNP gaps, the vast majority on
+        # near-identical inputs, resolve directly with zero device work
+        gap_min = pen.gap1_open + pen.gap1_extend
+        if pen.two_piece:
+            gap_min = min(gap_min, pen.gap2_open + pen.gap2_extend)
         for mi, m in enumerate(survivors):
             q = self.rc_codes[m.qi] if m.is_rev else self.codes[m.qi]
             t = self.codes[m.tj]
@@ -240,10 +274,24 @@ class SweepAligner(WfaAligner):
             ):
                 gq0, gt0 = q0 + n0, t0_ + n0
                 if q1 > gq0 or t1_ > gt0:
-                    gap_jobs.append((mi, g, q[gq0:q1], t[gt0:t1_]))
-        gap_cigars: dict[tuple[int, int], list[tuple[int, str]]] = {}
+                    qw, tw = q[gq0:q1], t[gt0:t1_]
+                    if qw.size == tw.size and qw.size * pen.mismatch <= 2 * gap_min:
+                        gap_cigars[(mi, g)] = nw.resolve_matches(
+                            [(qw.size, "M")], qw, tw
+                        )
+                    else:
+                        gap_jobs.append((mi, g, qw, tw))
         if not gap_jobs:
             return gap_cigars
+        # chunk the remaining (indel-bearing) windows: sorted by size so
+        # each chunk's padding is tight, <= 1024 jobs per dispatch
+        gap_jobs.sort(key=lambda j: (max(j[2].size, j[3].size), j[2].size))
+        CHUNK = 1024
+        for lo in range(0, len(gap_jobs), CHUNK):
+            self._fill_gap_chunk(gap_jobs[lo : lo + CHUNK], pen, gap_cigars)
+        return gap_cigars
+
+    def _fill_gap_chunk(self, gap_jobs, pen: Penalties, gap_cigars) -> None:
         maxq = max(j[2].size for j in gap_jobs)
         maxt = max(j[3].size for j in gap_jobs)
         B = max(_next_pow2(len(gap_jobs)), 8)
@@ -308,7 +356,6 @@ class SweepAligner(WfaAligner):
             for b, items in zip(rows, items_all):
                 mi, g = gap_jobs[b][0], gap_jobs[b][1]
                 gap_cigars[(mi, g)] = items
-        return gap_cigars
 
 
 def _cigar_cost(items, pen: Penalties) -> int:

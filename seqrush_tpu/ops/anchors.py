@@ -66,8 +66,20 @@ def anchor_matches(
     used as a seed — repeat k-mers would otherwise explode the anchor list
     quadratically and seed spurious repeat-to-repeat chains.
     """
-    qp, qv = minimizers(q_codes, k, w)
-    tp, tv = minimizers(t_codes, k, w)
+    return anchor_matches_from_minimizers(
+        minimizers(q_codes, k, w), minimizers(t_codes, k, w), max_freq=max_freq
+    )
+
+
+def anchor_matches_from_minimizers(
+    q_mins: tuple[np.ndarray, np.ndarray],
+    t_mins: tuple[np.ndarray, np.ndarray],
+    max_freq: int | None = None,
+) -> np.ndarray:
+    """anchor_matches over precomputed (positions, values) minimizer sets —
+    callers indexing each sequence once (the FastGA model) use this."""
+    qp, qv = q_mins
+    tp, tv = t_mins
     if qp.size == 0 or tp.size == 0:
         return np.zeros((0, 2), np.int64)
     # join on value

@@ -43,6 +43,9 @@ TPAD = 7
 # one-lane shifts instead of per-row dynamic slices).  Trace-time flag for
 # kernel A/B measurement only — call jax.clear_caches() after flipping.
 STREAM_WINDOWS = True
+# streamed traceback rows in _tb_scan_tbw (tb consumed as reversed scan
+# inputs instead of one dynamic slice per walk step).  Same A/B contract.
+STREAM_WALK = True
 
 # traceback byte layout: bits 0-2 H choice (0=match/mismatch diag, 1=D1,
 # 2=I1, 3=D2, 4=I2, 7=invalid); bit 3 I1 opened; bit 4 I2 opened;
@@ -1220,9 +1223,18 @@ def _tb_scan_tbw(
     if runs_mode:
         state0 = state0 + (jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
 
-    def body(state, td):
+    stream = STREAM_WALK
+
+    def body(state, xs):
+        if stream:
+            td, row = xs
+            row = row.astype(jnp.int32)
+        else:
+            td = xs
+            row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=0)[0].astype(
+                jnp.int32
+            )
         cur_t, l, mat, done = state[:4]
-        row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=0)[0].astype(jnp.int32)
         active = (~done) & (cur_t == td)
         b = jnp.sum(jnp.where(lanes == l[:, None], row, 0), axis=1)
 
@@ -1279,24 +1291,45 @@ def _tb_scan_tbw(
         run_sym = jnp.where(close, opa, run_sym)
         return (cur_t, l, mat, done, run_sym, run_len), out_tok
 
-    tds = jnp.arange(t_total, 0, -1, dtype=jnp.int32)
-    state, ys = jax.lax.scan(body, state0, tds, unroll=unroll)
+    if stream:
+        # reverse scan consumes tb rows as inputs (no per-step slice); ys
+        # comes back in ASCENDING td order (original xs index positions)
+        tds = jnp.arange(1, t_total + 1, dtype=jnp.int32)
+        state, ys = jax.lax.scan(
+            body, state0, (tds, tb[1 : t_total + 1]), unroll=unroll,
+            reverse=True,
+        )
+    else:
+        tds = jnp.arange(t_total, 0, -1, dtype=jnp.int32)
+        state, ys = jax.lax.scan(body, state0, tds, unroll=unroll)
+        if not runs_mode:
+            ys = ys[::-1]  # descending-walk ys -> ascending td order
     if not runs_mode:
         ops = jnp.concatenate(
-            [jnp.zeros((1, B), jnp.uint8), ys[::-1]], axis=0
+            [jnp.zeros((1, B), jnp.uint8), ys], axis=0
         ).T
         return ops
 
     # flush the last open run (walk order: it is the alignment's FIRST run)
     run_sym, run_len = state[4], state[5]
     flush = jnp.where(run_len > 0, run_sym | (run_len << 2), 0)
-    toks = jnp.concatenate([ys.T, flush[:, None]], axis=1)  # [B, L1]
-    L1 = toks.shape[1]
-    idx = jnp.arange(L1, dtype=jnp.int32)[None, :]
-    live = toks > 0
-    # key packs (descending position rank << 16 | token): one top_k yields
-    # the first run_max tokens in walk order, payload included — no gathers
-    key = jnp.where(live, ((L1 - idx) << 16) | toks, 0)
+    if stream:
+        # ys.T columns are ascending td = REVERSED walk order: rank by idx
+        # ascending (later column = earlier walk step) with flush (the last
+        # walk emission) ranked below everything
+        toks = jnp.concatenate([flush[:, None], ys.T], axis=1)  # [B, L1]
+        L1 = toks.shape[1]
+        idx = jnp.arange(L1, dtype=jnp.int32)[None, :]
+        live = toks > 0
+        key = jnp.where(live, ((idx + 1) << 16) | toks, 0)
+    else:
+        toks = jnp.concatenate([ys.T, flush[:, None]], axis=1)  # [B, L1]
+        L1 = toks.shape[1]
+        idx = jnp.arange(L1, dtype=jnp.int32)[None, :]
+        live = toks > 0
+        # key packs (descending position rank << 16 | token): one top_k
+        # yields the first run_max tokens in walk order, payload included
+        key = jnp.where(live, ((L1 - idx) << 16) | toks, 0)
     kk = min(run_max, L1)
     vals = jax.lax.top_k(key, kk)[0]
     tokens = vals & 0xFFFF

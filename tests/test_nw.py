@@ -360,6 +360,49 @@ def test_stream_windows_matches_dynamic_slice():
         np.testing.assert_array_equal(np.asarray(outs[True][1]), np.asarray(outs[False][1]))
 
 
+def test_stream_walk_matches_dynamic_slice():
+    """The streamed traceback walk (tb rows consumed as reversed scan
+    inputs) is opcode- and token-identical to the per-step dynamic-slice
+    walk, in both emission modes."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    qs, ts = [], []
+    for k in range(6):
+        n = int(rng.integers(30, 200))
+        q = bases[rng.integers(0, 4, n)]
+        t = bytearray(q.tobytes())
+        for pos in rng.integers(0, n, size=max(n // 15, 1)):
+            t[pos % len(t)] = bases[rng.integers(0, 4)]
+        if k % 2:
+            del t[10:14]
+        qs.append(q)
+        ts.append(np.frombuffer(bytes(t), np.uint8))
+    lq = max(q.size for q in qs)
+    lt = max(t.size for t in ts)
+    Q = np.stack([np.concatenate([q, np.full(lq - q.size, nw.QPAD, np.uint8)]) for q in qs])
+    T = np.stack([np.concatenate([t, np.full(lt - t.size, nw.TPAD, np.uint8)]) for t in ts])
+    qlens = np.array([q.size for q in qs], np.int32)
+    tlens = np.array([t.size for t in ts], np.int32)
+    kw = dict(mismatch=PEN.mismatch, o1=PEN.gap1_open, e1=PEN.gap1_extend,
+              o2=PEN.gap2_open, e2=PEN.gap2_extend, band=63,
+              tmax=int((qlens + tlens).max()))
+    outs = {}
+    for flag in (True, False):
+        nw.STREAM_WALK = flag
+        jax.clear_caches()
+        try:
+            s, o = nw.nw_align_with_opcodes(Q, T, qlens, tlens, **kw)
+            sr, tok, cnt = nw.nw_align_with_runs(Q, T, qlens, tlens, **kw)
+            outs[flag] = tuple(np.asarray(a) for a in (s, o, sr, tok, cnt))
+        finally:
+            nw.STREAM_WALK = True
+    jax.clear_caches()
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_v3_single_piece_and_tiny_band():
     """v3 parity in single-piece mode and with band wider than sequences."""
     pairs = [(b"ACGTACGT", b"ACGTTACGT"), (b"A", b"G"), (b"ACACAC", b"ACACAC")]
