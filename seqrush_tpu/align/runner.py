@@ -133,6 +133,12 @@ class RunnerConfig:
     # None = no cutoff.  Ignored by the allwave (exact all-pairs) backend,
     # which has no seeding stage.
     frequency: int | None = None
+    # scan unroll factors for the fused kernels (forward sweep / reverse
+    # walk).  Round-2 measured unroll effects as shape-unstable with the
+    # dynamic-slice body; the streamed body is pure elementwise, where
+    # deeper unroll amortizes per-region sequencing across rows.
+    unroll: int = 4
+    tb_unroll: int = 4
     # traceback emission on the fused device path: 'runs' fetches run-length
     # (op, len) tokens ([B, nw.RUN_MAX] int32, ~6x smaller than packed
     # opcodes over the slow host link) and decodes at run granularity;
@@ -864,14 +870,16 @@ class WfaAligner:
                 # shape-dependent and unstable on this backend
                 scores, tokens, counts = nw.nw_align_with_runs(
                     Q, T, qlens, tlens, use_int16=use_int16,
-                    run_max=nw.RUN_MAX, **kw
+                    run_max=nw.RUN_MAX, unroll=self.cfg.unroll,
+                    tb_unroll=self.cfg.tb_unroll, **kw
                 )
                 return (
                     chunk, scores, ("runs", (tokens, counts)),
                     qlens, tlens, band, use_int16,
                 )
             scores, opcodes = nw.nw_align_with_opcodes(
-                Q, T, qlens, tlens, use_int16=use_int16, **kw
+                Q, T, qlens, tlens, use_int16=use_int16,
+                unroll=self.cfg.unroll, tb_unroll=self.cfg.tb_unroll, **kw
             )
             return chunk, scores, ("ops", opcodes), qlens, tlens, band, use_int16
 
@@ -916,14 +924,16 @@ class WfaAligner:
                 # and each chip's fetch shrinks the same ~6x as single-chip
                 scores, tokens, counts = nw.nw_align_with_runs(
                     Q, T, qlens, tlens, use_int16=use_int16,
-                    run_max=nw.RUN_MAX, **kw
+                    run_max=nw.RUN_MAX, unroll=self.cfg.unroll,
+                    tb_unroll=self.cfg.tb_unroll, **kw
                 )
                 return (
                     chunk, scores, ("runs", (tokens, counts)),
                     np.asarray(qlens), np.asarray(tlens), band, use_int16,
                 )
             scores, opcodes = nw.nw_align_with_opcodes(
-                Q, T, qlens, tlens, use_int16=use_int16, **kw
+                Q, T, qlens, tlens, use_int16=use_int16,
+                unroll=self.cfg.unroll, tb_unroll=self.cfg.tb_unroll, **kw
             )
             return (
                 chunk, scores, ("ops", opcodes),
@@ -964,7 +974,8 @@ class WfaAligner:
                     qlens, tlens, band, use_int16,
                 )
             scores, opcodes = nw.nw_align_with_opcodes(
-                Q, T, qlens, tlens, use_int16=use_int16, **kw
+                Q, T, qlens, tlens, use_int16=use_int16,
+                unroll=self.cfg.unroll, tb_unroll=self.cfg.tb_unroll, **kw
             )
             return chunk, scores, ("ops", opcodes), qlens, tlens, band, use_int16
         scores, tb = nw.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)
