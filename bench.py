@@ -179,7 +179,10 @@ def main():
         al_sat = WfaAligner(seqs_sat, cfg)
         al_sat.align_pairs(pairs_sat)  # warm compile + resident upload
         sat_best = None
-        for _ in range(3):
+        # best-of-4: tunnel-window throughput drifts up to 2-3x across
+        # windows (docs/ROUND3_NOTES.md); more passes shave within-window
+        # jitter, nothing can control the window itself
+        for _ in range(4):
             for attr in ("_mh_fwd", "_mh_rc"):
                 if hasattr(al_sat, attr):
                     delattr(al_sat, attr)

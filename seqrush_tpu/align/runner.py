@@ -68,7 +68,9 @@ class RunnerConfig:
     # measured 1,742 pairs/s vs 729 for the 1.5 GB two-chunk split in the
     # same window (docs/PROFILE_TPU_WARM.json) — every dispatch pays a
     # fixed host-link round trip and the sweep cost is flat-in-B until far
-    # past these batch sizes
+    # past these batch sizes.  Do NOT raise it toward HBM size to merge
+    # band buckets: an 8 GB budget (one 640-row band-1535 chunk, 6.5 GB
+    # traceback) OOMs on v5e-16GB via XLA temp copies (round 3, r3e)
     memory_budget_bytes: int = int(2.6e9)
     verbose: bool = False
     # alignment kernel: 'nw' = banded anti-diagonal Gotoh (shift-only,
