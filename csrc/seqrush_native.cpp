@@ -285,4 +285,55 @@ int64_t nw_traceback(const uint8_t* tb, int64_t tmax_rows, int64_t W,
   return n;
 }
 
+// Colinear anchor-chaining DP (the sweepga backend's host hot loop;
+// bit-identical to ops/anchors.py chain_anchors: 64-anchor lookback,
+// weight f[j] + k - 0.05*skew - 0.01*max(dq, dt), first-max argmax,
+// strict improvement test).  anchors must be pre-sorted by (q, t).
+// Writes the best chain's indices (ascending) into out_idx; returns its
+// length.
+int64_t chain_anchors(const int64_t* qs, const int64_t* ts, int64_t n,
+                      int64_t k, int64_t max_gap, int64_t max_skew,
+                      int64_t* out_idx) {
+  if (n <= 0) return 0;
+  std::vector<double> f((size_t)n, (double)k);
+  std::vector<int64_t> pred((size_t)n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t qi = qs[i], ti = ts[i];
+    int64_t j0 = i - 64;
+    if (j0 < 0) j0 = 0;
+    double best_gain = -1.0;
+    int64_t best_j = -1;
+    for (int64_t j = j0; j < i; ++j) {
+      int64_t qj = qs[j], tj = ts[j];
+      if (!(qj < qi && tj < ti)) continue;
+      int64_t dq = qi - qj, dt = ti - tj;
+      if (dq > max_gap || dt > max_gap) continue;
+      int64_t skew = dq - dt;
+      if (skew < 0) skew = -skew;
+      if (skew > max_skew) continue;
+      double gain = f[(size_t)j] + (double)k - 0.05 * (double)skew -
+                    0.01 * (double)(dq > dt ? dq : dt);
+      if (best_j < 0 || gain > best_gain) {  // strict: first max wins
+        best_gain = gain;
+        best_j = j;
+      }
+    }
+    if (best_j >= 0 && best_gain > f[(size_t)i]) {
+      f[(size_t)i] = best_gain;
+      pred[(size_t)i] = best_j;
+    }
+  }
+  int64_t end = 0;
+  for (int64_t i = 1; i < n; ++i)
+    if (f[(size_t)i] > f[(size_t)end]) end = i;  // first max wins
+  std::vector<int64_t> chain;
+  while (end >= 0) {
+    chain.push_back(end);
+    end = pred[(size_t)end];
+  }
+  int64_t m = (int64_t)chain.size();
+  for (int64_t c = 0; c < m; ++c) out_idx[c] = chain[(size_t)(m - 1 - c)];
+  return m;
+}
+
 }  // extern "C"

@@ -284,9 +284,11 @@ class SweepAligner(WfaAligner):
         if not gap_jobs:
             return gap_cigars
         # chunk the remaining (indel-bearing) windows: sorted by size so
-        # each chunk's padding is tight, <= 1024 jobs per dispatch
+        # each chunk's padding is tight; 8k windows/dispatch — windows are
+        # tiny (tens of bp), so even the max chunk is a small program, and
+        # every dispatch costs a host-link round trip
         gap_jobs.sort(key=lambda j: (max(j[2].size, j[3].size), j[2].size))
-        CHUNK = 1024
+        CHUNK = 8192
         for lo in range(0, len(gap_jobs), CHUNK):
             self._fill_gap_chunk(gap_jobs[lo : lo + CHUNK], pen, gap_cigars)
         return gap_cigars

@@ -109,6 +109,16 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.nw_traceback.restype = ctypes.c_int64
+        lib.chain_anchors.argtypes = [
+            c_i64p,
+            c_i64p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            c_i64p,
+        ]
+        lib.chain_anchors.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -254,3 +264,31 @@ def nw_traceback_native(
         else:
             items.append((1, op))
     return items
+
+
+def chain_anchors_native(
+    a_sorted: np.ndarray, k: int, max_gap: int, max_skew: int
+) -> np.ndarray | None:
+    """C++ colinear-chaining DP over (q, t)-sorted anchors [n, 2]; returns
+    the best chain's row indices (ascending) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = a_sorted.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    qs = np.ascontiguousarray(a_sorted[:, 0], dtype=np.int64)
+    ts = np.ascontiguousarray(a_sorted[:, 1], dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    m = lib.chain_anchors(
+        qs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        k,
+        max_gap,
+        max_skew,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if m < 0:
+        return None
+    return out[:m]

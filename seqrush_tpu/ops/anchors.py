@@ -112,6 +112,22 @@ def chain_anchors(
     order = np.lexsort((anchors[:, 1], anchors[:, 0]))
     a = anchors[order]
     n = a.shape[0]
+    # the DP is a sequential 64-lookback loop — the sweepga backend's host
+    # hot spot; the C++ twin (csrc chain_anchors, bit-identical arithmetic
+    # and tie-breaking) runs it ~100x faster, python below is the spec
+    try:
+        from ..native import chain_anchors_native
+
+        idx = chain_anchors_native(a, k, max_gap, max_skew)
+    except Exception:
+        idx = None
+    if idx is not None:
+        out = a[idx]
+        keep = [0]
+        for i in range(1, out.shape[0]):
+            if out[i, 0] > out[keep[-1], 0] and out[i, 1] > out[keep[-1], 1]:
+                keep.append(i)
+        return out[keep]
     f = np.full(n, float(k))
     pred = np.full(n, -1, dtype=np.int64)
     for i in range(n):

@@ -78,3 +78,60 @@ def test_backtrace_native_matches_python():
         finally:
             nmod.backtrace_native = saved
         assert nat == py
+
+
+def test_chain_anchors_native_matches_python():
+    """The C++ chaining DP is bit-identical to the python spec (same
+    arithmetic, same first-max tie-breaking) across random anchor sets,
+    including repeat-like multi-diagonal anchors."""
+    import numpy as np
+
+    from seqrush_tpu.native import chain_anchors_native, get_lib
+    from seqrush_tpu.ops import anchors as am
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(4)
+    for trial in range(8):
+        n = int(rng.integers(1, 300))
+        # mix diagonal-ish anchors with random repeat noise
+        qs = np.sort(rng.integers(0, 3000, size=n))
+        ts = qs + rng.integers(-50, 50, size=n)
+        noise = rng.integers(0, 3000, size=(max(n // 4, 1), 2))
+        a = np.concatenate([np.stack([qs, np.abs(ts)], axis=1), noise])
+        a = a[np.lexsort((a[:, 1], a[:, 0]))].astype(np.int64)
+        idx = chain_anchors_native(a, 15, 5000, 2000)
+        assert idx is not None
+        # python spec on the same sorted array
+        n2 = a.shape[0]
+        f = np.full(n2, 15.0)
+        pred = np.full(n2, -1, dtype=np.int64)
+        for i in range(n2):
+            qi, ti = a[i]
+            j0 = max(0, i - 64)
+            js = np.arange(j0, i)
+            if js.size == 0:
+                continue
+            qj = a[js, 0]
+            tj = a[js, 1]
+            ok = (qj < qi) & (tj < ti) & (qi - qj <= 5000) & (ti - tj <= 5000)
+            skew = np.abs((qi - qj) - (ti - tj))
+            ok &= skew <= 2000
+            if not ok.any():
+                continue
+            gain = f[js] + 15 - 0.05 * skew - 0.01 * np.maximum(qi - qj, ti - tj)
+            gain = np.where(ok, gain, -np.inf)
+            best = int(np.argmax(gain))
+            if gain[best] > f[i]:
+                f[i] = gain[best]
+                pred[i] = js[best]
+        end = int(np.argmax(f))
+        chain = []
+        while end >= 0:
+            chain.append(end)
+            end = int(pred[end])
+        chain.reverse()
+        assert list(idx) == chain, f"trial {trial}"
