@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard alignment batches over N local devices",
     )
     p.add_argument(
+        "--save-checkpoint", default=None, dest="save_checkpoint", metavar="NPY",
+        help="persist the converged union-find parent array after alignment "
+        "(graph-phase checkpoint; the reference can only replay PAFs)",
+    )
+    p.add_argument(
+        "--load-checkpoint", default=None, dest="load_checkpoint", metavar="NPY",
+        help="restore a parent-array checkpoint and skip alignment entirely",
+    )
+    p.add_argument(
         "--memory-budget-bytes", type=int, default=None, dest="memory_budget_bytes",
         help="device memory per alignment dispatch; with --mesh-devices, a "
         "pair whose traceback alone exceeds this routes through the "

@@ -62,6 +62,12 @@ class Args:
     # orderings (quality default, layout/ygs.py), 'stable' =
     # bounded-displacement SGD-stable topo, 'odgi' = reference/ODGI 's'
     topo_mode: str = "best"
+    # graph-phase checkpointing beyond the reference's PAF replay (SURVEY.md
+    # §5 checkpoint/resume: "graph-phase state is never checkpointed" in
+    # the reference): persist / restore the converged union-find parent
+    # array, skipping the whole alignment phase on resume
+    save_checkpoint: str | None = None
+    load_checkpoint: str | None = None
     inversion_aware: bool = False  # reference inversion_aware_seqrush mode
     mesh_devices: int | None = None  # shard alignment batches over N devices
     # write a machine-readable run profile (phase timings, aligner stats,

@@ -18,6 +18,7 @@ device scatter-min rounds.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -156,6 +157,8 @@ class SeqRushTPU:
         np.save(path, np.asarray(self.parent))
 
     def load_checkpoint(self, path: str) -> None:
+        if not os.path.exists(path) and os.path.exists(path + ".npy"):
+            path += ".npy"  # np.save appends the suffix
         arr = np.load(path)
         if arr.size != (self.total_length << 1) + 2:
             raise ValueError(
@@ -568,7 +571,16 @@ def run_seqrush(args: Args) -> BidirectedGraph:
     if args.verbose:
         print(f"Loaded {len(seqs)} sequences")
     sr = SeqRushTPU(seqs, args)
-    sr.align_and_unite()
+    if args.load_checkpoint:
+        sr.load_checkpoint(args.load_checkpoint)
+        if args.verbose:
+            print(f"Restored union-find checkpoint from {args.load_checkpoint}")
+    else:
+        sr.align_and_unite()
+    if args.save_checkpoint:
+        sr.save_checkpoint(args.save_checkpoint)
+        if args.verbose:
+            print(f"Union-find checkpoint written to {args.save_checkpoint}")
     graph = sr.write_gfa()
     if args.profile:
         import json as _json

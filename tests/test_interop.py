@@ -123,6 +123,25 @@ def test_iterative_dispatch_size_invariant(tmp_path, monkeypatch):
     assert outs[0] == outs[1]
 
 
+def test_checkpoint_cli_roundtrip(tmp_path):
+    """--save-checkpoint then --load-checkpoint reproduces the identical
+    GFA without re-aligning (graph-phase resume — a capability beyond the
+    reference's PAF-only replay)."""
+    from seqrush_tpu.cli import main as cli_main
+
+    fam = variant_family(n=4, length=150, seed=41)
+    fasta = str(tmp_path / "in.fa")
+    with open(fasta, "w") as fh:
+        for name, seq in fam:
+            fh.write(f">{name}\n{seq.decode()}\n")
+    out1 = str(tmp_path / "a.gfa")
+    out2 = str(tmp_path / "b.gfa")
+    ck = str(tmp_path / "uf.npy")
+    cli_main(["-s", fasta, "-o", out1, "--no-sort", "--save-checkpoint", ck])
+    cli_main(["-s", fasta, "-o", out2, "--no-sort", "--load-checkpoint", ck])
+    assert open(out1).read() == open(out2).read()
+
+
 def test_sparsification_parser():
     assert parse_sparsification("none").kind == "none"
     assert parse_sparsification("auto").kind == "auto"
