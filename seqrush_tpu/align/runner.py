@@ -496,6 +496,20 @@ class WfaAligner:
                 diff = abs(qlen - tlen)
                 band0 = min(band0, self._quantize_band(diff + 255, qlen, tlen))
                 orients = (False, True)
+                if self.cfg.mesh is not None and self._needs_band_shard(
+                    (p, False, band0, True), pairs
+                ):
+                    # a pair too big even for the probe band must not race
+                    # BOTH orientations through sharded full-band
+                    # escalation (each step is a sharded dispatch + fresh
+                    # compile); commit to the sketch's better orientation
+                    if forced_rev is None:
+                        d_fwd, d_rc = self._sketch_orientation_distances(
+                            pairs[p : p + 1]
+                        )
+                        orients = (bool(d_rc[0] < d_fwd[0]),)
+                    else:
+                        orients = (bool(is_rev[p]),)
             else:
                 orients = (bool(is_rev[p]),)
             for rc in orients:

@@ -346,18 +346,47 @@ class SweepAligner(WfaAligner):
                     mi, g = gap_jobs[b][0], gap_jobs[b][1]
                     gap_cigars[(mi, g)] = items
             self.stats["run_overflows"] += len(overflow_rows)
-        rows = overflow_rows if use_runs else list(range(len(gap_jobs)))
-        if rows:
-            _scores, opcodes = nw.nw_align_with_opcodes(Q, T, qlens, tlens, **kw)
-            ops = nw.unpack_opcodes(np.asarray(opcodes), np.asarray(opcodes).shape[1] * 4)
-            items_all = nw.decode_batch(
-                ops[rows],
-                [gap_jobs[b][2] for b in rows],
-                [gap_jobs[b][3] for b in rows],
+        if use_runs:
+            if overflow_rows:
+                # repack ONLY the overflowing windows into a small opcode
+                # dispatch instead of re-aligning the whole padded chunk
+                self._fill_gap_opcodes(
+                    [gap_jobs[b] for b in overflow_rows], kw, gap_cigars
+                )
+        else:
+            self._fill_gap_opcodes(gap_jobs, kw, gap_cigars, Q, T, qlens, tlens)
+
+    def _fill_gap_opcodes(self, jobs, kw, gap_cigars, Q=None, T=None, qlens=None, tlens=None):
+        """Opcode-emission gap fill for ``jobs``; packs its own (small)
+        batch unless the caller already packed one of the same jobs."""
+        if Q is None:
+            B = max(_next_pow2(len(jobs)), 8)
+            lq = _round_up(max(max(j[2].size for j in jobs), 1), 128)
+            lt = _round_up(max(max(j[3].size for j in jobs), 1), 128)
+            Q = np.full((B, lq), nw.QPAD, np.uint8)
+            T = np.full((B, lt), nw.TPAD, np.uint8)
+            qlens = np.zeros(B, np.int32)
+            tlens = np.zeros(B, np.int32)
+            for b, (_, _, qw, tw) in enumerate(jobs):
+                Q[b, : qw.size] = qw
+                T[b, : tw.size] = tw
+                qlens[b] = qw.size
+                tlens[b] = tw.size
+            kw = dict(kw)
+            kw["band"] = min(
+                _round_up(int(np.abs(qlens - tlens).max()) + 65, 128) - 1,
+                max(lq, lt) + 1,
             )
-            for b, items in zip(rows, items_all):
-                mi, g = gap_jobs[b][0], gap_jobs[b][1]
-                gap_cigars[(mi, g)] = items
+            kw["tmax"] = _round_up(int((qlens + tlens).max()) + 1, 256)
+        _scores, opcodes = nw.nw_align_with_opcodes(Q, T, qlens, tlens, **kw)
+        ops = nw.unpack_opcodes(np.asarray(opcodes), np.asarray(opcodes).shape[1] * 4)
+        items_all = nw.decode_batch(
+            ops[: len(jobs)],
+            [j[2] for j in jobs],
+            [j[3] for j in jobs],
+        )
+        for (mi, g, _qw, _tw), items in zip(jobs, items_all):
+            gap_cigars[(mi, g)] = items
 
 
 def _cigar_cost(items, pen: Penalties) -> int:

@@ -147,13 +147,26 @@ def sgd_stable_topological_order(
     min-heap on rank."""
     if not graph.nodes:
         return []
-    votes: dict[tuple[int, int], int] = {}
+    # vectorized vote accumulation: one packed-key unique over every
+    # consecutive step pair (the python dict loop dominated host time on
+    # large graphs)
+    keys = []
+    nbits = max(int(n).bit_length() for n in graph.nodes) + 1
     for p in graph.paths:
         ns = (np.asarray(p.steps) >> 1).astype(np.int64)
-        for a, b in zip(ns[:-1], ns[1:]):
-            a, b = int(a), int(b)
-            if a != b:
-                votes[(a, b)] = votes.get((a, b), 0) + 1
+        if ns.size < 2:
+            continue
+        a, b = ns[:-1], ns[1:]
+        m = a != b
+        keys.append((a[m] << nbits) | b[m])
+    votes: dict[tuple[int, int], int] = {}
+    if keys:
+        uniq, counts = np.unique(np.concatenate(keys), return_counts=True)
+        mask = (1 << nbits) - 1
+        votes = {
+            (int(k) >> nbits, int(k) & mask): int(c)
+            for k, c in zip(uniq, counts)
+        }
     out: dict[int, list[int]] = {n: [] for n in graph.nodes}
     indeg: dict[int, int] = {n: 0 for n in graph.nodes}
     for (a, b), w in votes.items():

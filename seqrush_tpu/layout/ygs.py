@@ -115,30 +115,12 @@ def ygs_sort(
 
 
 def rmse_for_order(graph: BidirectedGraph, order: list[int]) -> float:
-    """Layout RMSE a node ordering WOULD produce (measure_layout_quality
-    semantics: per consecutive path step, |layout distance - genomic
-    distance| with layout position = cumulative node length in order) —
-    evaluated without mutating the graph."""
-    pos: dict[int, float] = {}
-    cum = 0
-    for h in order:
-        nid = int(h) >> 1
-        pos[nid] = float(cum)
-        cum += len(graph.nodes[nid])
-    import numpy as np
+    """Layout RMSE a node ordering WOULD produce, without mutating the
+    graph — delegates to the one metric definition
+    (tools/measure_layout_quality.layout_quality)."""
+    from ..tools.measure_layout_quality import layout_quality
 
-    errs = []
-    for path in graph.paths:
-        ns = (np.asarray(path.steps) >> 1).astype(np.int64)
-        if ns.size < 2:
-            continue
-        la = np.array([len(graph.nodes[int(n)]) for n in ns[:-1]], dtype=np.float64)
-        p = np.array([pos[int(n)] for n in ns], dtype=np.float64)
-        errs.append(np.abs(np.abs(np.diff(p)) - la))
-    if not errs:
-        return 0.0
-    e = np.concatenate(errs)
-    return float(np.sqrt(np.mean(e**2)))
+    return layout_quality(graph, order)["rmse"]
 
 
 def _best_final_order(graph: BidirectedGraph, params: "YgsParams") -> list[int]:
@@ -153,25 +135,30 @@ def _best_final_order(graph: BidirectedGraph, params: "YgsParams") -> list[int]:
 
     ord_y = [nid << 1 for nid in sorted(graph.nodes)]
     ord_odgi = exact_odgi_topological_order(graph, True, False)
-    # ODGI order + median rank-position refinement + re-sort
-    pos: dict[int, float] = {}
-    cum = 0
-    for h in ord_odgi:
-        nid = int(h) >> 1
-        pos[nid] = float(cum)
-        cum += len(graph.nodes[nid])
-    refined = refine_positions(graph, pos, params.refine_rounds or 4)
-    ord_odgi_ref = [
-        n << 1 for n, _ in sorted(refined.items(), key=lambda kv: (kv[1], kv[0]))
-    ]
-    ord_stable = sgd_stable_topological_order(graph, params.stall_bound)
-    candidates = [ord_odgi, ord_odgi_ref, ord_stable, ord_y]
+    candidates = [ord_odgi]
+    if params.refine_rounds > 0:  # 0 disables ALL refinement (YgsParams doc)
+        # ODGI order + median rank-position refinement + re-sort
+        pos: dict[int, float] = {}
+        cum = 0
+        for h in ord_odgi:
+            nid = int(h) >> 1
+            pos[nid] = float(cum)
+            cum += len(graph.nodes[nid])
+        refined = refine_positions(graph, pos, params.refine_rounds)
+        candidates.append(
+            [n << 1 for n, _ in sorted(refined.items(), key=lambda kv: (kv[1], kv[0]))]
+        )
+    candidates.append(sgd_stable_topological_order(graph, params.stall_bound))
+    candidates.append(ord_y)
     scores = [rmse_for_order(graph, o) for o in candidates]
     best = min(range(len(candidates)), key=lambda k: scores[k])
     if params.verbose:
+        names = ["odgi", "odgi+refine", "stable", "sgd"]
+        if params.refine_rounds <= 0:
+            names.remove("odgi+refine")
         print(
-            "[ygs_sort] final-order candidates (odgi, odgi+refine, stable, "
-            f"sgd): RMSE {[round(s, 1) for s in scores]} -> {best}"
+            f"[ygs_sort] final-order candidates ({', '.join(names)}): "
+            f"RMSE {[round(s, 1) for s in scores]} -> {names[best]}"
         )
     return candidates[best]
 

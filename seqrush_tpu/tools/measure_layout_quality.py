@@ -16,8 +16,15 @@ import numpy as np
 from ..graph.bigraph import BidirectedGraph, parse_gfa
 
 
-def layout_quality(graph: BidirectedGraph) -> dict:
-    node_ids = sorted(graph.nodes)
+def layout_quality(graph: BidirectedGraph, order: list[int] | None = None) -> dict:
+    """Layout-quality stats for the graph's CURRENT node-id order, or for a
+    hypothetical ``order`` (forward handles) without mutating the graph —
+    the single definition of the metric (layout/ygs.py's final-ordering
+    candidate selection scores with this same function)."""
+    if order is None:
+        node_ids = sorted(graph.nodes)
+    else:
+        node_ids = [int(h) >> 1 for h in order]
     pos = {}
     cum = 0
     for nid in node_ids:
@@ -25,17 +32,15 @@ def layout_quality(graph: BidirectedGraph) -> dict:
         cum += len(graph.nodes[nid])
     errors = []
     for path in graph.paths:
-        genome = 0
-        for a, b in zip(path.steps[:-1], path.steps[1:]):
-            na, nb = int(a) >> 1, int(b) >> 1
-            la = len(graph.nodes[na])
-            layout_dist = abs(pos[nb] - pos[na])
-            genomic_dist = la  # consecutive steps are la apart along the path
-            errors.append(abs(layout_dist - genomic_dist))
-            genome += la
+        ns = (np.asarray(path.steps) >> 1).astype(np.int64)
+        if ns.size < 2:
+            continue
+        la = np.array([len(graph.nodes[int(n)]) for n in ns[:-1]], dtype=np.float64)
+        p = np.array([pos[int(n)] for n in ns], dtype=np.float64)
+        errors.append(np.abs(np.abs(np.diff(p)) - la))
     if not errors:
         return {"mse": 0.0, "rmse": 0.0, "mae": 0.0, "n_terms": 0}
-    e = np.array(errors, dtype=np.float64)
+    e = np.concatenate(errors)
     total_len = sum(len(s) for s in graph.nodes.values())
     return {
         "mse": float(np.mean(e**2)),

@@ -221,6 +221,24 @@ def test_multi_chain_covers_rearrangement():
     assert covered >= 400  # both blocks contribute matches
 
 
+def test_gap_fill_opcode_path_matches_runs():
+    """The opcode-emission gap fill (RUN_MAX-overflow retry path, also
+    forced by emit='ops') produces identical records to the runs path."""
+    base = rand_seq(700, 90)
+    alt = bytearray(base)
+    for pos in np.random.default_rng(91).integers(0, len(alt), size=10):
+        alt[pos] = BASES[np.random.default_rng(int(pos)).integers(0, 4)]
+    del alt[300:330]
+    seqs_named = [("a", base), ("b", bytes(alt))]
+    out = {}
+    for emit in ("auto", "ops"):
+        seqs = make_sequence_set(seqs_named)
+        al = SweepAligner(seqs, RunnerConfig(emit=emit))
+        res = al.align_pairs(all_ordered_pairs(2))
+        out[emit] = [(r.query_idx, r.target_idx, r.score, r.cigar) for r in res]
+    assert out["auto"] == out["ops"]
+
+
 def test_sweep_repeat_heavy_sequences_validate():
     """Repeat-rich sequences (which create different-diagonal anchor
     overlaps) still produce valid graphs through the sweep backend."""
