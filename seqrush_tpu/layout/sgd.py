@@ -334,19 +334,24 @@ def refine_positions(
     m_s = mids[order]
     starts = np.searchsorted(m_s, np.arange(len(node_ids)))
     ends = np.searchsorted(m_s, np.arange(len(node_ids)) + 1)
+    glens = ends - starts
+    has = glens > 0
+    # median index pair per group (np.median = mean of the two central
+    # elements for even lengths); one grouped lexsort per round replaces a
+    # per-node python median loop
+    lo = starts + (np.maximum(glens, 1) - 1) // 2
+    hi = starts + np.maximum(glens, 1) // 2
     thresh = 3.0 * lens + 50.0
     for _ in range(max(rounds, 0)):
         implied = (x[prevs] + x[nexts]) / 2.0
-        imp_s = implied[order]
-        new_x = x.copy()
-        for n in range(len(node_ids)):
-            if ends[n] > starts[n]:
-                med = np.median(imp_s[starts[n] : ends[n]])
-                if abs(x[n] - med) > thresh[n]:
-                    new_x[n] = med
-        if (new_x == x).all():
+        vals = implied[order]
+        vals_sorted = vals[np.lexsort((vals, m_s))]
+        med = (vals_sorted[np.minimum(lo, vals.size - 1)]
+               + vals_sorted[np.minimum(hi, vals.size - 1)]) / 2.0
+        move = has & (np.abs(x - med) > thresh)
+        if not move.any():
             break
-        x = new_x
+        x = np.where(move, med, x)
     return {int(n): float(x[k]) for k, n in enumerate(node_ids)}
 
 
