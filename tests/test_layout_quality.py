@@ -60,6 +60,20 @@ def test_layout_rmse_gate(seed, length, n_hap, tmp_path):
 ZOO_RMSE_CEILING_BP = 70.0
 
 
+def test_ygs_best_ordering_deterministic(tmp_path):
+    """The best-of-four final ordering + polish loop is fully deterministic:
+    two pipelines over the same input produce byte-identical GFA (the
+    candidate scoring, refinement, and tie-breaks contain no hidden
+    nondeterminism)."""
+    fam = _gene(9, 900, 6)
+    outs = []
+    for k in range(2):
+        r = validate_gene(fam, f"det{k}", str(tmp_path))
+        assert r["pass"]
+        outs.append(open(f"{tmp_path}/det{k}.gfa").read())
+    assert outs[0] == outs[1]
+
+
 def test_layout_rmse_gate_zoo_scale(tmp_path):
     rng = np.random.default_rng(77)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
