@@ -28,10 +28,12 @@ import sys
 
 import numpy as np
 
-from ..config import Args
-from ..pipeline import SeqRushTPU
-from ..sequences import load_fasta, make_sequence_set
-from .measure_layout_quality import layout_quality
+# NOTE: pipeline imports happen inside validate_gene()/main(), AFTER the
+# device pin — importing them here executes module-level jnp constants,
+# which initializes the JAX backend and makes a later jax_platforms update
+# a silent no-op (the fuzz tool documents the same hazard; the environment
+# may pre-import jax with a TPU platform, and a shared/tunneled TPU must
+# not pay one compile per gene by accident).
 
 
 def synth_gene(idx: int, rng: np.random.Generator):
@@ -62,6 +64,11 @@ def synth_gene(idx: int, rng: np.random.Generator):
 
 
 def validate_gene(named, name: str, workdir: str, full_ygs: bool = True) -> dict:
+    from ..config import Args
+    from ..pipeline import SeqRushTPU
+    from ..sequences import make_sequence_set
+    from .measure_layout_quality import layout_quality
+
     seqs = make_sequence_set(named)
     out = os.path.join(workdir, f"{name}.gfa")
     args = Args(output=out, no_sort=not full_ygs)
@@ -95,13 +102,30 @@ def validate_gene(named, name: str, workdir: str, full_ygs: bool = True) -> dict
 
 
 def main(argv=None) -> int:
+    import jax
+
     p = argparse.ArgumentParser(prog="validate_zoo")
     p.add_argument("fastas", nargs="*", help="FASTA files (one gene family each)")
     p.add_argument("--synthetic", type=int, default=0, help="generate N synthetic genes")
     p.add_argument("--workdir", default="/tmp/seqrush_zoo")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--no-sort", action="store_true", help="skip the Ygs pipeline")
+    p.add_argument(
+        "--device",
+        default="cpu",
+        choices=["cpu", "default"],
+        help="cpu (default): zoo genes compile fresh kernel shapes, which a "
+        "shared/tunneled TPU should only pay deliberately; 'default' keeps "
+        "the session backend",
+    )
     ns = p.parse_args(argv)
+    if ns.device == "cpu":
+        # must precede any jax operation (backends initialize lazily)
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", (
+            "CPU pin did not take (a non-CPU backend was initialized before "
+            "main() — check for module-level jax operations)"
+        )
     os.makedirs(ns.workdir, exist_ok=True)
 
     jobs = []
@@ -110,6 +134,8 @@ def main(argv=None) -> int:
         for i in range(ns.synthetic):
             jobs.append((f"synth{i}", synth_gene(i, rng)))
     for pattern in ns.fastas:
+        from ..sequences import load_fasta
+
         for path in sorted(glob.glob(pattern)):
             seqs = load_fasta(path)
             named = [(s.id, s.data.tobytes()) for s in seqs.sequences]
