@@ -9,21 +9,33 @@ from __future__ import annotations
 
 import argparse
 
-from ..align.pairs import all_ordered_pairs
-from ..align.runner import RunnerConfig, WfaAligner
-from ..io.paf import alignment_to_paf
-from ..scores import AlignmentScores
-from ..sequences import load_fasta
+# pipeline imports happen inside main() AFTER the device pin (alignment
+# runs on device; see tools/fuzz.py for the import-order hazard)
 
 
 def main(argv=None) -> int:
+    import jax
+
     p = argparse.ArgumentParser(prog="simple_align")
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("-S", "--scores", default="0,5,8,2,24,1")
     p.add_argument("-d", "--max-divergence", type=float, default=None)
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "--device", default="default", choices=["cpu", "default"],
+        help="'default' (the session backend) — this IS an alignment tool; "
+        "pass cpu to keep a one-off run off a shared/tunneled TPU",
+    )
     ns = p.parse_args(argv)
+    if ns.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu"
+    from ..align.pairs import all_ordered_pairs
+    from ..align.runner import RunnerConfig, WfaAligner
+    from ..io.paf import alignment_to_paf
+    from ..scores import AlignmentScores
+    from ..sequences import load_fasta
 
     seqs = load_fasta(ns.input)
     cfg = RunnerConfig(

@@ -9,11 +9,13 @@ from __future__ import annotations
 
 import argparse
 
-from ..graph.bigraph import parse_gfa
-from ..layout.ygs import YgsParams, ygs_sort
+# pipeline imports happen inside main() AFTER the device pin (the SGD phase
+# runs on device; see tools/fuzz.py for the import-order hazard)
 
 
 def main(argv=None) -> int:
+    import jax
+
     p = argparse.ArgumentParser(prog="sort_gfa")
     p.add_argument("input")
     p.add_argument("output")
@@ -22,7 +24,17 @@ def main(argv=None) -> int:
     p.add_argument("--skip-topo", action="store_true")
     p.add_argument("--sgd-iter-max", type=int, default=100)
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "--device", default="cpu", choices=["cpu", "default"],
+        help="cpu (default): one-off sorts should not grab a shared/"
+        "tunneled TPU; 'default' keeps the session backend",
+    )
     ns = p.parse_args(argv)
+    if ns.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu"
+    from ..graph.bigraph import parse_gfa
+    from ..layout.ygs import YgsParams, ygs_sort
 
     with open(ns.input) as fh:
         graph = parse_gfa(fh)
