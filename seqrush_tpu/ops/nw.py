@@ -2076,3 +2076,525 @@ def decode_rowtokens(
             items.append((g, "D"))
     emit_steps(pos, qlen)
     return items
+
+
+# -----------------------------------------------------------------------------
+# Band tiling: mixed-band chunks as ONE serial program
+# -----------------------------------------------------------------------------
+# The measured per-step cost of the sweep/walk scans is dominated by fixed
+# per-fused-region sequencing overhead — flat in both B and W at production
+# shapes (docs/ROUND3_NOTES.md §1).  A workload with two band buckets (e.g.
+# 576 pairs at K=511 plus 64 inversion-carrying pairs at K=1535, the shape of
+# every HLA-like all-pairs sweep) therefore pays TWO full serial programs of
+# ~equal wall clock even though the wide bucket is 8% of the pairs.  Merging
+# everyone into one chunk at the wide band triples the narrow rows' traceback
+# memory and OOMs (ROUND3_NOTES §1, r3e).
+#
+# Band tiling instead keeps the lane width at the NARROW bucket's W and gives
+# each wide pair R = (K_wide+1)/W consecutive batch rows ("tiles"), each
+# covering one W-lane slice of its wide band.  Every DP dependency is a lane
+# shift of +-1, so tiles couple through exactly one boundary lane per
+# anti-diagonal: the shifted-stack helpers inject the neighbouring row's edge
+# column (a roll along the batch axis) instead of +inf.  One program, same
+# trip count as the narrow chunk alone, traceback bytes = rows x tmax x W.
+#
+# Band anchor schedules: a narrow row uses i0_n(t) = max((t-K_n+1)//2, 0),
+# a wide row i0_w(t) (same formula at K_w).  With W even, K_n and K_w are
+# both odd, so the two schedules advance with the SAME parity; the sweep
+# splits into three statically scheduled phases:
+#   P1  t in [1, K_n]:        both classes i0 = 0          (shift pattern of
+#                             the untiled phase A, no per-row selects)
+#   P2  t in (K_n, K_w]:      narrow alternates dp=1,0; wide still i0 = 0
+#                             (per-dependency class selects, ~(K_w-K_n)
+#                             of the tmax rows)
+#   P3  t > K_w:              both alternate dp=1,0 in lockstep (untiled
+#                             phase-B shift pattern)
+# Per-row lane offsets are absorbed by PRE-SHIFTING each tile row's
+# sequences (query left by o, target right by o, o = tile*W) so the
+# substitution-window schedule stays uniform per class.
+#
+# The reverse walk runs in lockstep on all tiles of a pair (identical
+# state); each row reads its own W lanes and the owner tile's byte reaches
+# its siblings through masked batch rolls.  Scores/tokens are read from the
+# pair's first row.  Scores, traceback bytes, and therefore CIGARs are
+# BIT-IDENTICAL to running each pair untiled at its own band (the DP values,
+# tie order X,D1,I1,D2,I2, and walk are unchanged — only the memory layout
+# of the wide band differs).  Reference behavior unchanged:
+# /root/reference/src/wfa.rs:41-75 (exact end-to-end alignment contract).
+
+
+def _sweep_tiled(
+    Q, T, qlens, tlens, o_off, is_wide, has_left, has_right, *,
+    mismatch, o1, e1, o2, e2, band, band_wide, tmax, dtype=jnp.int32,
+    unroll=4,
+):
+    """Forward banded sweep over a mixed-band batch (see section comment).
+
+    Q [B, Lq] / T [B, Lt2]: PER-ROW PRE-SHIFTED base codes (query left by
+    o_off, target right by o_off — nw_align_with_runs_tiled does this).
+    o_off [B]: lane offset of the row's tile (0 for narrow rows).
+    is_wide [B]: row belongs to a band_wide pair (all its tiles).
+    has_left / has_right [B]: a sibling tile row sits at b-1 / b+1.
+    band: K_n, the narrow class band; W = band+1 is the lane width.
+    band_wide: K_w, the wide class band; (K_w+1) % W == 0, W even.
+    Returns (scores [B] int32 — final-cell value where this row's tile owns
+    the final lane, else -1; tb [T_total+1, B, W] uint8; T_total).
+    """
+    B, Lq = Q.shape  # Q column 0 = base BEFORE the row's first lane (see wrapper)
+    Lt2 = T.shape[1]
+    K = band
+    Kw = band_wide
+    W = K + 1
+    if W % 2 or (Kw + 1) % W or Kw <= K:
+        raise ValueError("band tiling needs W even and band_wide+1 = R*W, R>1")
+    two = o2 >= 0
+    NEG = _dtype_inf(dtype)
+    clamp = dtype == jnp.int16
+
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+    o_off = o_off.astype(jnp.int32)
+    wide_col = is_wide[:, None]
+    wide_b1 = is_wide[None, :, None]
+
+    # phase extents (K, Kw odd; P2/P3 lengths even when they run full)
+    TA1 = min(K, tmax)
+    M2 = max(0, -(-(min(Kw, tmax) - TA1) // 2))
+    M3 = max(0, -(-(tmax - (TA1 + 2 * M2)) // 2))
+    T_total = TA1 + 2 * M2 + 2 * M3
+
+    # ---- streamed substitution windows -----------------------------------
+    # incoming-column schedules per class (see _sweep_v3's streaming note);
+    # indices derived from the window start s_q(t) = i0(t),
+    # s_t(t) = Lt2 - t + i0(t) + W on the (1, W+eq)/(W+et, W)-padded arrays.
+    eq = max(0, M2 + M3 - Lq)
+    Qps = jnp.pad(Q, ((0, 0), (0, W + eq)), constant_values=QPAD)
+    raw_lows = [
+        Lt2 + W - T_total,                   # P1 floor (t up to TA1 <= T_total)
+        Lt2 + W - TA1 - 2 * M2,              # P2 wide pair-stream floor
+        Lt2 + W - TA1 - M2 - M3,             # P2+P3 narrow stream floor
+        Lt2 + W - Kw - M3 if M3 else Lt2,    # P3 wide stream floor
+    ]
+    et = max(0, -min(raw_lows))
+    TrevS = jnp.pad(T[:, ::-1], ((0, 0), (W + et, W)), constant_values=TPAD)
+    qwin0 = Qps[:, :W]
+    twin0 = TrevS[:, et + Lt2 + W : et + Lt2 + 2 * W]
+    # P1: both classes shift the target window by 1/row; incoming column at
+    # row t is TrevS[., et + Lt2 + W - t], t = 1..TA1
+    tcols_p1 = TrevS[:, et + Lt2 + W - TA1 : et + Lt2 + W][:, ::-1].T
+    # P2 narrow: qcol at macro m is Qps[., W + m]; tcol (row2 insert) at
+    # et + Lt2 + W - TA1 - 1 - m
+    qcols_p2 = Qps[:, W : W + M2].T
+    tcols_p2n = TrevS[:, et + Lt2 + W - TA1 - M2 : et + Lt2 + W - TA1][:, ::-1].T
+    # P2 wide: two tcols per macro (rows t1, t2), descending from
+    # et + Lt2 + W - TA1 - 1
+    tw = TrevS[:, et + Lt2 + W - TA1 - 2 * M2 : et + Lt2 + W - TA1][:, ::-1].T
+    tcols_p2w = tw.reshape(M2, 2, B) if M2 else tw.reshape(0, 2, B)
+    # P3: one qcol + one tcol per macro, per class; select by is_wide
+    if M3 > 0:
+        qcols_p3 = jnp.where(
+            wide_col.T, Qps[:, W : W + M3].T, Qps[:, W + M2 : W + M2 + M3].T
+        )
+        tcols_p3 = jnp.where(
+            wide_col.T,
+            TrevS[:, et + Lt2 + W - Kw - M3 : et + Lt2 + W - Kw][:, ::-1].T,
+            TrevS[
+                :, et + Lt2 + W - TA1 - M2 - M3 : et + Lt2 + W - TA1 - M2
+            ][:, ::-1].T,
+        )
+
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+    fin_t = qlens + tlens
+
+    H0 = jnp.full((B, W), NEG, dtype)
+    H0 = H0.at[:, 0].set(jnp.where(o_off == 0, jnp.zeros((), dtype), NEG))
+    S = jnp.stack([H0] + [jnp.full((B, W), NEG, dtype)] * 5)
+    FIN = jnp.where(
+        ((fin_t == 0) & (o_off == 0))[:, None], H0, jnp.full((B, W), NEG, dtype)
+    )
+
+    inf_col6 = jnp.full((6, B, 1), NEG, dtype)
+
+    def sr6(S):  # no halo: P1 only (tile-boundary cells still invalid there)
+        return jnp.concatenate([inf_col6, S[:, :, :-1]], axis=2)
+
+    def sr6h(S):
+        left = jnp.roll(S[:, :, -1], 1, axis=1)
+        left = jnp.where(has_left[None, :], left, NEG)
+        return jnp.concatenate([left[:, :, None], S[:, :, :-1]], axis=2)
+
+    def sl6h(S):
+        right = jnp.roll(S[:, :, 0], -1, axis=1)
+        right = jnp.where(has_right[None, :], right, NEG)
+        return jnp.concatenate([S[:, :, 1:], right[:, :, None]], axis=2)
+
+    def i0_n(t):
+        return jnp.maximum((t - K + 1) // 2, 0)
+
+    def i0_w(t):
+        return jnp.maximum((t - Kw + 1) // 2, 0)
+
+    def i0_row(t):
+        return jnp.where(is_wide, i0_w(t), i0_n(t))
+
+    def compute_row(t, deps, sub):
+        h_up, h_left, h_diag, i1_up, d1_left, i2_up, d2_left = deps
+        I1n = jnp.minimum(h_up + (o1 + e1), i1_up + e1)
+        i1_opened = (h_up + (o1 + e1)) <= (i1_up + e1)
+        D1n = jnp.minimum(h_left + (o1 + e1), d1_left + e1)
+        d1_opened = (h_left + (o1 + e1)) <= (d1_left + e1)
+        if two:
+            I2n = jnp.minimum(h_up + (o2 + e2), i2_up + e2)
+            i2_opened = (h_up + (o2 + e2)) <= (i2_up + e2)
+            D2n = jnp.minimum(h_left + (o2 + e2), d2_left + e2)
+            d2_opened = (h_left + (o2 + e2)) <= (d2_left + e2)
+        else:
+            I2n = jnp.full((B, W), NEG, dtype)
+            D2n = jnp.full((B, W), NEG, dtype)
+            i2_opened = jnp.zeros((B, W), bool)
+            d2_opened = jnp.zeros((B, W), bool)
+
+        Hn = h_diag + sub
+        choice = jnp.full((B, W), H_DIAG, jnp.uint8)
+        for cand, tag in ((D1n, H_D1), (I1n, H_I1), (D2n, H_D2), (I2n, H_I2)):
+            better = cand < Hn
+            Hn = jnp.where(better, cand, Hn)
+            choice = jnp.where(better, jnp.uint8(tag), choice)
+
+        if clamp:
+            i = (i0_row(t) + o_off)[:, None] + lanes
+            j = t - i
+            valid = (i <= qlens[:, None]) & (j >= 0) & (j <= tlens[:, None])
+            Hn = jnp.where(valid, jnp.minimum(Hn, NEG), NEG)
+            I1n = jnp.where(valid, jnp.minimum(I1n, NEG), NEG)
+            D1n = jnp.where(valid, jnp.minimum(D1n, NEG), NEG)
+            I2n = jnp.where(valid, jnp.minimum(I2n, NEG), NEG)
+            D2n = jnp.where(valid, jnp.minimum(D2n, NEG), NEG)
+
+        packed = (
+            choice
+            | (i1_opened.astype(jnp.uint8) << 3)
+            | (i2_opened.astype(jnp.uint8) << 4)
+            | (d1_opened.astype(jnp.uint8) << 5)
+            | (d2_opened.astype(jnp.uint8) << 6)
+        )
+        return Hn, I1n, D1n, I2n, D2n, packed
+
+    # ---- P1: t in [1, TA1], i0 = 0 for both classes -----------------------
+    def body_p1(carry, xs):
+        S, FIN, Twin = carry
+        t, tcol = xs
+        Twin = jnp.concatenate([tcol[:, None], Twin[:, :-1]], axis=1)
+        R = sr6(S)
+        deps = (R[0], S[0], R[1], R[2], S[3], R[4], S[5])
+        sub = jnp.where(qwin0 == Twin, 0, mismatch).astype(dtype)
+        Hn, I1n, D1n, I2n, D2n, packed = compute_row(t, deps, sub)
+        FIN = jnp.where((t == fin_t)[:, None], Hn, FIN)
+        Sn = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        return (Sn, FIN, Twin), packed
+
+    carry = (S, FIN, twin0)
+    if TA1 > 0:
+        ts_1 = jnp.arange(1, TA1 + 1, dtype=jnp.int32)
+        carry, tb_1 = jax.lax.scan(body_p1, carry, (ts_1, tcols_p1), unroll=unroll)
+
+    # ---- P2: t in (TA1, TA1 + 2*M2]; narrow alternates, wide holds --------
+    def body_p2(carry, xs):
+        S, FIN, qwin, Twin = carry
+        m, qcol, tcol_n, tcol_w = xs
+        t1 = TA1 + 1 + 2 * m
+        # narrow query window advances at macro start; wide holds
+        qwin = jnp.where(
+            wide_col, qwin, jnp.concatenate([qwin[:, 1:], qcol[:, None]], axis=1)
+        )
+        # row 1: wide target window shifts (start -1); narrow holds
+        Twin = jnp.where(
+            wide_col,
+            jnp.concatenate([tcol_w[0][:, None], Twin[:, :-1]], axis=1),
+            Twin,
+        )
+        R = sr6h(S)
+        L = sl6h(S)
+        # narrow (dp=1, dpp=1): (S0, L0, S1, S2, L3, S4, L5)
+        # wide   (dp=0, dpp=0): (R0, S0, R1, R2, S3, R4, S5)
+        deps = (
+            jnp.where(wide_b1[0], R[0], S[0]),
+            jnp.where(wide_b1[0], S[0], L[0]),
+            jnp.where(wide_b1[0], R[1], S[1]),
+            jnp.where(wide_b1[0], R[2], S[2]),
+            jnp.where(wide_b1[0], S[3], L[3]),
+            jnp.where(wide_b1[0], R[4], S[4]),
+            jnp.where(wide_b1[0], S[5], L[5]),
+        )
+        sub = jnp.where(qwin == Twin, 0, mismatch).astype(dtype)
+        Hn, I1n, D1n, I2n, D2n, p1 = compute_row(t1, deps, sub)
+        FIN = jnp.where((t1 == fin_t)[:, None], Hn, FIN)
+        S = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        # row 2: both classes shift the target window (start -1)
+        t2 = t1 + 1
+        tcol2 = jnp.where(is_wide, tcol_w[1], tcol_n)
+        Twin = jnp.concatenate([tcol2[:, None], Twin[:, :-1]], axis=1)
+        R = sr6h(S)
+        # narrow (dp=0, dpp=1): (R0, S0, S1, R2, S3, R4, S5)
+        # wide   (dp=0, dpp=0): (R0, S0, R1, R2, S3, R4, S5)
+        deps = (
+            R[0], S[0],
+            jnp.where(wide_b1[0], R[1], S[1]),
+            R[2], S[3], R[4], S[5],
+        )
+        sub = jnp.where(qwin == Twin, 0, mismatch).astype(dtype)
+        Hn, I1n, D1n, I2n, D2n, p2 = compute_row(t2, deps, sub)
+        FIN = jnp.where((t2 == fin_t)[:, None], Hn, FIN)
+        Sn = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        return (Sn, FIN, qwin, Twin), jnp.stack([p1, p2])
+
+    if M2 > 0:
+        S_c, FIN_c, Twin_c = carry
+        carry = (S_c, FIN_c, qwin0, Twin_c)
+        ms2 = jnp.arange(M2, dtype=jnp.int32)
+        carry, tb_2 = jax.lax.scan(
+            body_p2, carry, (ms2, qcols_p2, tcols_p2n, tcols_p2w),
+            unroll=max(unroll // 2, 1),
+        )
+    else:
+        S_c, FIN_c, Twin_c = carry
+        carry = (S_c, FIN_c, qwin0, Twin_c)
+
+    # ---- P3: t > TA1 + 2*M2; both classes alternate in lockstep -----------
+    T2 = TA1 + 2 * M2
+
+    def body_p3(carry, xs):
+        S, FIN, qwin, Twin = carry
+        m, qcol, tcol = xs
+        t1 = T2 + 1 + 2 * m
+        qwin = jnp.concatenate([qwin[:, 1:], qcol[:, None]], axis=1)
+        # row 1 (dp=1, dpp=1): (S0, L0, S1, S2, L3, S4, L5); window start holds
+        L = sl6h(S)
+        deps = (S[0], L[0], S[1], S[2], L[3], S[4], L[5])
+        sub = jnp.where(qwin == Twin, 0, mismatch).astype(dtype)
+        Hn, I1n, D1n, I2n, D2n, p1 = compute_row(t1, deps, sub)
+        FIN = jnp.where((t1 == fin_t)[:, None], Hn, FIN)
+        S = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        # row 2 (dp=0, dpp=1): (R0, S0, S1, R2, S3, R4, S5); window start -1
+        t2 = t1 + 1
+        Twin = jnp.concatenate([tcol[:, None], Twin[:, :-1]], axis=1)
+        R = sr6h(S)
+        deps = (R[0], S[0], S[1], R[2], S[3], R[4], S[5])
+        sub = jnp.where(qwin == Twin, 0, mismatch).astype(dtype)
+        Hn, I1n, D1n, I2n, D2n, p2 = compute_row(t2, deps, sub)
+        FIN = jnp.where((t2 == fin_t)[:, None], Hn, FIN)
+        Sn = jnp.stack([Hn, S[0], I1n, D1n, I2n, D2n])
+        return (Sn, FIN, qwin, Twin), jnp.stack([p1, p2])
+
+    if M3 > 0:
+        ms3 = jnp.arange(M3, dtype=jnp.int32)
+        carry, tb_3 = jax.lax.scan(
+            body_p3, carry, (ms3, qcols_p3, tcols_p3),
+            unroll=max(unroll // 2, 1),
+        )
+    FIN = carry[1]
+
+    # per-row final-lane extraction (the owning tile yields the score)
+    i0_fin = i0_row(fin_t)
+    fin_lane = qlens - i0_fin - o_off
+    fin_val = jnp.min(
+        jnp.where(lanes == fin_lane[:, None], FIN.astype(jnp.int32), INF), axis=1
+    )
+    finished = (fin_t <= T_total) & (fin_val < INF)
+    scores = jnp.where(finished, fin_val, -1)
+
+    parts = [jnp.zeros((1, B, W), jnp.uint8)]
+    if TA1 > 0:
+        parts.append(tb_1)
+    if M2 > 0:
+        parts.append(tb_2.reshape(2 * M2, B, W))
+    if M3 > 0:
+        parts.append(tb_3.reshape(2 * M3, B, W))
+    tb = jnp.concatenate(parts, axis=0)  # [T_total + 1, B, W]
+    return scores, tb, T_total
+
+
+def _tb_scan_tiled(
+    tb, qlens, tlens, K_row, o_off, sib_fwd, *, t_total: int,
+    unroll: int = 4, run_max: int = RUN_MAX,
+):
+    """Reverse run-emission walk over a band-tiled traceback (lockstep).
+
+    Every tile row of a pair carries an identical copy of the pair's walk
+    state (global lane in [0, band_wide+1), material, cursor); each row
+    one-hot-reads its own W lanes at (lane - o_off) and the owner tile's
+    byte reaches its siblings through masked batch rolls, so all copies
+    transition identically — the same walk as _tb_scan_tbw at the pair's
+    own band.  Emissions are identical on every tile row; callers read the
+    pair's FIRST row.
+
+    K_row [B]: per-row band (narrow rows: base band; all tiles of a wide
+    pair: band_wide).  o_off [B]: lane offset of the row's tile.
+    sib_fwd [R-1, B] bool: sib_fwd[k-1][b] <=> row b+k is a tile of row
+    b's pair.  Returns (tokens [B, run_max], counts [B]) per the
+    _tb_scan_tbw emit='runs' contract.
+    """
+    B = tb.shape[1]
+    W = tb.shape[2]
+    n_sib = sib_fwd.shape[0]
+    qlens = qlens.astype(jnp.int32)
+    tlens = tlens.astype(jnp.int32)
+    K_row = K_row.astype(jnp.int32)
+    o_off = o_off.astype(jnp.int32)
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+    if t_total + 1 >= (1 << 15):
+        raise ValueError("run emission needs t_total < 32767")
+    # backward sibling masks: row b-k is a tile of row b's pair
+    sib_bwd = jnp.stack(
+        [jnp.roll(sib_fwd[k], k + 1, axis=0) for k in range(n_sib)]
+    )
+
+    def i0_of(t):
+        return jnp.maximum((t - K_row + 1) // 2, 0)
+
+    cur_t0 = qlens + tlens
+    l0 = qlens - i0_of(cur_t0)
+    mat0 = jnp.zeros(B, jnp.int32)
+    done0 = cur_t0 <= 0
+    state0 = (cur_t0, l0, mat0, done0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
+
+    def body(state, xs):
+        td, row = xs
+        row = row.astype(jnp.int32)
+        cur_t, l, mat, done = state[:4]
+        active = (~done) & (cur_t == td)
+        own = jnp.sum(jnp.where(lanes == (l - o_off)[:, None], row, 0), axis=1)
+        b = own
+        for k in range(n_sib):
+            b = b + jnp.where(sib_fwd[k], jnp.roll(own, -(k + 1)), 0)
+            b = b + jnp.where(sib_bwd[k], jnp.roll(own, k + 1), 0)
+
+        i = i0_of(td) + l
+        j = td - i
+
+        choice = b & 7
+        is_h = mat == 0
+        go_d1 = (is_h & (choice == H_D1)) | (mat == 1)
+        go_i1 = (is_h & (choice == H_I1)) | (mat == 2)
+        go_d2 = (is_h & (choice == H_D2)) | (mat == 3)
+        go_i2 = (is_h & (choice == H_I2)) | (mat == 4)
+        diag = is_h & (choice == H_DIAG)
+
+        opened = jnp.where(
+            go_d1, (b >> 5) & 1,
+            jnp.where(go_i1, (b >> 3) & 1,
+                      jnp.where(go_d2, (b >> 6) & 1, (b >> 4) & 1)),
+        ).astype(jnp.bool_)
+
+        gap_d = go_d1 | go_d2
+        gap_i = go_i1 | go_i2
+
+        op = jnp.where(diag, OP_M, jnp.where(gap_i, OP_I, jnp.where(gap_d, OP_D, OP_NONE)))
+        ni = jnp.where(diag | gap_i, i - 1, i)
+        nj = jnp.where(diag | gap_d, j - 1, j)
+        nmat = jnp.where(
+            diag | opened,
+            0,
+            jnp.where(go_d1, 1, jnp.where(go_i1, 2, jnp.where(go_d2, 3, 4))),
+        )
+
+        nt = ni + nj
+        nl = ni - i0_of(nt)
+        ndone = (ni == 0) & (nj == 0)
+
+        cur_t = jnp.where(active, nt, cur_t)
+        l = jnp.where(active, nl, l)
+        mat = jnp.where(active, nmat, mat)
+        done = done | (active & ndone)
+        run_sym, run_len = state[4], state[5]
+        opa = jnp.where(active, op, OP_NONE)
+        has = opa != OP_NONE
+        same = has & (opa == run_sym) & (run_len < _RUN_LEN_MAX)
+        close = has & ~same
+        out_tok = jnp.where(close, run_sym | (run_len << 2), 0)
+        run_len = jnp.where(same, run_len + 1, jnp.where(has, 1, run_len))
+        run_sym = jnp.where(close, opa, run_sym)
+        return (cur_t, l, mat, done, run_sym, run_len), out_tok
+
+    tds = jnp.arange(1, t_total + 1, dtype=jnp.int32)
+    state, ys = jax.lax.scan(
+        body, state0, (tds, tb[1 : t_total + 1]), unroll=unroll, reverse=True
+    )
+
+    run_sym, run_len = state[4], state[5]
+    flush = jnp.where(run_len > 0, run_sym | (run_len << 2), 0)
+    toks = jnp.concatenate([flush[:, None], ys.T], axis=1)  # [B, L1]
+    L1 = toks.shape[1]
+    idx = jnp.arange(L1, dtype=jnp.int32)[None, :]
+    live = toks > 0
+    key = jnp.where(live, ((idx + 1) << 16) | toks, 0)
+    kk = min(run_max, L1)
+    vals = jax.lax.top_k(key, kk)[0]
+    tokens = vals & 0xFFFF
+    if kk < run_max:
+        tokens = jnp.pad(tokens, ((0, 0), (0, run_max - kk)))
+    counts = jnp.sum(live, axis=1, dtype=jnp.int32)
+    return tokens, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mismatch", "o1", "e1", "o2", "e2", "band", "band_wide", "tmax",
+        "n_tiles", "use_int16", "unroll", "tb_unroll", "run_max",
+    ),
+)
+def nw_align_with_runs_tiled(
+    Q, T, qlens, tlens, o_off, is_wide, has_left, has_right, sib_fwd,
+    *, mismatch, o1, e1, o2, e2, band, band_wide, tmax, n_tiles,
+    use_int16=False, unroll=4, tb_unroll=4, run_max=RUN_MAX,
+):
+    """Fused band-tiled sweep + lockstep device walk with run emission.
+
+    Row layout (built by the runner): narrow rows are standalone pairs at
+    `band`; a wide pair occupies n_tiles consecutive rows at `band_wide`
+    (= n_tiles*(band+1) - 1), lane offsets o_off = tile*(band+1).  Q/T are
+    UNSHIFTED per-row base codes; the per-tile pre-shift happens here
+    (per-class static rolls, once per dispatch).  Returns (scores [B],
+    tokens [B, run_max], counts [B]) where each wide pair's score/token
+    rows are its FIRST tile row (sibling rows of scores are combined in).
+
+    Bit-identical to nw_align_with_runs at each pair's own band — the
+    parity suite (tests/test_tiled.py) pins scores, tokens, and decoded
+    CIGARs.
+    """
+    W = band + 1
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    o_max = (n_tiles - 1) * W
+
+    # per-tile-class pre-shift: query left by o, target right by o.  The
+    # query is left-padded by one column FIRST so each tile row's column 0
+    # carries the base preceding its first lane (its lane-0 substitution
+    # reads it; for offset-0 rows it is the boundary pad as in the untiled
+    # kernel).  The roll's wrapped tails are only read at cells outside the
+    # row's valid (i, j) region, whose values stay >= NEG by monotonicity.
+    Qp1 = jnp.pad(Q, ((0, 0), (1, 0)), constant_values=QPAD)
+    Qs = Qp1
+    Tp = jnp.pad(T, ((0, 0), (0, o_max)), constant_values=TPAD)
+    Ts = Tp
+    for r in range(1, n_tiles):
+        off = r * W
+        m = (o_off == off)[:, None]
+        Qs = jnp.where(m, jnp.roll(Qp1, -off, axis=1), Qs)
+        Ts = jnp.where(m, jnp.roll(Tp, off, axis=1), Ts)
+
+    scores, tb, t_total = _sweep_tiled(
+        Qs, Ts, qlens, tlens, o_off, is_wide, has_left, has_right,
+        mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2,
+        band=band, band_wide=band_wide, tmax=tmax, dtype=dtype, unroll=unroll,
+    )
+    # fold sibling tiles' scores onto the pair's first row
+    sc = scores
+    for k in range(n_tiles - 1):
+        sc = jnp.maximum(sc, jnp.where(sib_fwd[k], jnp.roll(scores, -(k + 1)), -1))
+    K_row = jnp.where(is_wide, band_wide, band).astype(jnp.int32)
+    tokens, counts = _tb_scan_tiled(
+        tb, qlens, tlens, K_row, o_off, sib_fwd,
+        t_total=t_total, unroll=tb_unroll, run_max=run_max,
+    )
+    return sc, tokens, counts
