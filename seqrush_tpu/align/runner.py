@@ -148,6 +148,32 @@ class RunnerConfig:
     # the program fits the token format (tmax < ~32k; pairs whose walk
     # overflows RUN_MAX runs retry via opcodes automatically)
     emit: str = "auto"
+    # band tiling: 'auto' merges a wide band bucket into its neighbouring
+    # narrow chunk by giving each wide pair (band_wide+1)/(band+1)
+    # consecutive batch rows coupled by per-step halo columns
+    # (ops/nw.py nw_align_with_runs_tiled) — ONE serial program instead of
+    # two, which matters because the scan cost is flat in B and W
+    # (docs/ROUND3_NOTES.md: the 64-pair band-1535 bucket costs as much
+    # wall clock as the 576-pair band-511 bucket).  'off' keeps one chunk
+    # per band bucket.  Results are bit-identical either way (parity
+    # pinned by tests/test_tiled.py).
+    band_tiling: str = "auto"
+    # cap on tiles per wide pair (wider jobs keep their own chunk)
+    band_tiling_max_tiles: int = 4
+
+
+class _TiledChunk(list):
+    """A chunk whose wide-band entries run band-tiled (see RunnerConfig.
+    band_tiling).  Entries look like plain chunk entries
+    (p, rc, band, f32, q, t) — narrow ones carry base_band, wide ones
+    wide_band; the dispatch expands each wide entry into n_tiles
+    consecutive batch rows."""
+
+    def __init__(self, entries, base_band: int, wide_band: int, n_tiles: int):
+        super().__init__(entries)
+        self.base_band = base_band
+        self.wide_band = wide_band
+        self.n_tiles = n_tiles
 
 
 def _round_up(x: int, m: int) -> int:
@@ -195,6 +221,8 @@ class WfaAligner:
             "gap_overflows": 0,  # row-major walks overflowing nw.GAP_MAX
             "run_overflows": 0,  # runs-emission walks overflowing nw.RUN_MAX
             "band_sharded": 0,  # pairs routed through the lane-sharded kernel
+            "tiled_chunks": 0,  # band-tiled merged dispatches
+            "tiled_rows": 0,  # extra batch rows spent on wide-pair tiles
             # host-side phase timers (seconds; overlap-aware only in that
             # collect time includes the device wait for the oldest chunk)
             "orient_s": 0.0,
@@ -533,6 +561,7 @@ class WfaAligner:
                         local.append(job)
                 queue = local
             chunks = self._make_nw_chunks(queue, pairs)
+            chunks = self._plan_band_tiling(chunks)
             queue = []
             retries_scored = []  # (job, banded_score)
             # pipeline: dispatch chunk k+1 (async device work) before the
@@ -702,6 +731,104 @@ class WfaAligner:
             chunks.append(chunk)
         return chunks
 
+    def _plan_band_tiling(self, chunks):
+        """Merge wide-band chunks into their narrow neighbour as band tiles.
+
+        _make_nw_chunks sorts entries by (dtype, impl, emission, band), so
+        band buckets form consecutive chunks.  When a narrow chunk is
+        followed by wide chunk(s) of the same static class, the wide pairs
+        can ride the narrow chunk as n_tiles consecutive rows each —
+        deleting a whole serial program from the dispatch sequence at the
+        cost of (n_tiles-1) extra rows per wide pair (the scan is flat in
+        B, ROUND3_NOTES §1).  Bit-identical results (tests/test_tiled.py).
+
+        Merge conditions: single-chip resident path (no mesh/fold/rows/
+        pallas/host-traceback), runs emission available, W even, n_tiles
+        in [2, band_tiling_max_tiles], merged traceback under the memory
+        budget, and tile rows not dominating the batch (stay in the
+        flat-in-B regime)."""
+        cfg = self.cfg
+        if (
+            cfg.band_tiling == "off"
+            or len(chunks) < 2
+            or cfg.mesh is not None
+            or cfg.fold is not False
+            or cfg.sweep == "rows"
+            or not cfg.device_traceback
+            or cfg.emit == "ops"
+            or self._use_pallas()
+        ):
+            return chunks
+
+        def klass(chunk):
+            p, rc, _band, f32, _q, _t = chunk[0]
+            return (
+                f32,
+                (p, rc) in self._v3_set,
+                (p, rc) in self._runs_off_set,
+            )
+
+        out = []
+        i = 0
+        while i < len(chunks):
+            base = chunks[i]
+            W = base[0][2] + 1 if base else 0
+            if (
+                isinstance(base, _TiledChunk)
+                or not base
+                or W % 2
+                or klass(base)[1]
+                or klass(base)[2]
+            ):
+                out.append(base)
+                i += 1
+                continue
+            narrow = list(base)
+            wides: list = []  # wide entries, band rewritten to n_tiles*W-1
+            n_tiles = 1
+            j = i + 1
+            while j < len(chunks):
+                cand = chunks[j]
+                if (
+                    not cand
+                    or isinstance(cand, _TiledChunk)
+                    or klass(cand) != klass(base)
+                    or cand[0][2] <= base[0][2]
+                ):
+                    break
+                R = max(n_tiles, -(-(cand[0][2] + 1) // W))
+                if R < 2 or R > cfg.band_tiling_max_tiles:
+                    break
+                trial_wides = wides + list(cand)
+                n_narrow, n_wide = len(narrow), len(trial_wides)
+                rows_total = n_narrow + R * n_wide
+                tmax = _round_up(
+                    max(q.size + t.size for *_, q, t in narrow + trial_wides),
+                    512,
+                )
+                if (
+                    tmax > cfg.long_pair_threshold
+                    or tmax + 4 >= (1 << 15)
+                    or self._quantize_batch(rows_total) * (tmax + 2) * W
+                    > cfg.memory_budget_bytes
+                    or (R - 1) * n_wide > n_narrow + n_wide
+                ):
+                    break  # tile rows would bust memory or dominate the batch
+                wides = trial_wides
+                n_tiles = R
+                j += 1
+            if n_tiles > 1:
+                bandw = n_tiles * W - 1
+                entries = narrow + [
+                    (p, rc, bandw, f32, q, t) for (p, rc, _b, f32, q, t) in wides
+                ]
+                out.append(_TiledChunk(entries, W - 1, bandw, n_tiles))
+                i = j
+            else:
+                out.append(base)
+                i += 1
+        return out
+
     # -- device-resident sequences -------------------------------------------
 
     def _ensure_resident(self):
@@ -796,9 +923,83 @@ class WfaAligner:
         except Exception:
             return False
 
+    def _dispatch_nw_chunk_tiled(self, chunk: _TiledChunk, pen, pairs):
+        """Dispatch a band-tiled merged chunk (RunnerConfig.band_tiling):
+        narrow entries ride one row each, wide entries n_tiles consecutive
+        rows, one fused program.  Returns the standard dispatched tuple
+        with a 'runs_tiled' payload carrying the per-entry primary-row map
+        (collect slices scores/tokens/counts through it and then proceeds
+        exactly like a 'runs' chunk)."""
+        import jax.numpy as jnp
+
+        from ..ops import nw
+
+        band = chunk.base_band
+        W = band + 1
+        R = chunk.n_tiles
+        force32 = chunk[0][3]
+        use_int16 = self.cfg.dp_dtype in ("int16", "auto") and not force32
+        tmax = _round_up(max(q.size + t.size for *_, q, t in chunk), 512)
+
+        rows = []  # (entry_idx, tile)
+        rowmap = np.zeros(len(chunk), np.int32)
+        for e, (p, rc, bandj, _f32, q, t) in enumerate(chunk):
+            rowmap[e] = len(rows)
+            ntile = R if bandj > band else 1
+            rows.extend((e, r) for r in range(ntile))
+        B = self._quantize_batch(len(rows))
+        self.stats["tiled_chunks"] += 1
+        self.stats["tiled_rows"] += len(rows) - len(chunk)
+        self.stats["cells_padded"] += B * (tmax + 2) * W
+
+        Rq, Rt, Rqr, Rtr, n, lmax = self._ensure_resident()
+        q_idx = np.zeros(B, np.int32)
+        t_idx = np.zeros(B, np.int32)
+        qlens = np.zeros(B, np.int32)
+        tlens = np.zeros(B, np.int32)
+        o_off = np.zeros(B, np.int32)
+        is_wide = np.zeros(B, bool)
+        hl = np.zeros(B, bool)
+        hr = np.zeros(B, bool)
+        sibf = np.zeros((R - 1, B), bool)
+        for b, (e, r) in enumerate(rows):
+            p, rc, bandj, _f32, q, t = chunk[e]
+            qi, tj = pairs[p]
+            q_idx[b] = int(qi) + (n if rc else 0)
+            t_idx[b] = int(tj)
+            qlens[b] = q.size
+            tlens[b] = t.size
+            wide = bandj > band
+            o_off[b] = r * W
+            is_wide[b] = wide
+            hl[b] = wide and r > 0
+            hr[b] = wide and r < R - 1
+            for k in range(1, R):
+                if wide and r + k < R:
+                    sibf[k - 1, b] = True
+        Q = jnp.take(Rq, q_idx, axis=0)
+        T = jnp.take(Rt, t_idx, axis=0)
+        scores, tokens, counts = nw.nw_align_with_runs_tiled(
+            Q, T, qlens, tlens, o_off, is_wide, hl, hr, jnp.asarray(sibf),
+            mismatch=pen.mismatch,
+            o1=pen.gap1_open,
+            e1=pen.gap1_extend,
+            o2=pen.gap2_open if pen.two_piece else -1,
+            e2=pen.gap2_extend if pen.two_piece else -1,
+            band=band, band_wide=chunk.wide_band, tmax=tmax, n_tiles=R,
+            use_int16=use_int16, unroll=self.cfg.unroll,
+            tb_unroll=self.cfg.tb_unroll, run_max=nw.RUN_MAX,
+        )
+        return (
+            chunk, scores, ("runs_tiled", (tokens, counts, rowmap)),
+            qlens[rowmap], tlens[rowmap], band, use_int16,
+        )
+
     def _dispatch_nw_chunk(self, chunk, pen, pairs):
         from ..ops import nw
 
+        if isinstance(chunk, _TiledChunk):
+            return self._dispatch_nw_chunk_tiled(chunk, pen, pairs)
         band = chunk[0][2]
         force32 = chunk[0][3]
         tmax = _round_up(max(q.size + t.size for *_, q, t in chunk), 512)
@@ -1028,7 +1229,14 @@ class WfaAligner:
 
         scores = np.asarray(scores)
         mode, data = payload
-        if mode == "fold":
+        if mode == "runs_tiled":
+            # band-tiled chunk: slice every per-row output down to each
+            # entry's primary (first-tile) row, then proceed as 'runs'
+            tokens, counts, rowmap = data
+            scores = scores[rowmap]
+            data = (np.asarray(tokens)[rowmap], np.asarray(counts)[rowmap])
+            mode = "runs"
+        elif mode == "fold":
             # two packed half-walk streams per pair: unpack, merge
             # fwd ++ [M crossing op] ++ reversed(bwd), then decode as 'ops'
             packed2, cross_m = data

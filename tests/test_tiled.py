@@ -222,3 +222,63 @@ def test_tiled_rejects_bad_geometry():
     q = rng.integers(0, 4, 20).astype(np.uint8)
     with pytest.raises(ValueError):
         _run_tiled([(q, q)], [(q, q)], band=8, band_wide=26, tmax=64)
+
+
+def _bench_like_seqs(n_seqs=8, length=900, seed=7):
+    """Miniature of bench.py's synth_hla: one inversion-carrying sample
+    forces a wide band bucket next to the narrow SNP/indel bucket."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, length).astype(np.uint8)
+    out = [base]
+    for k in range(1, n_seqs):
+        s = base.copy()
+        for p in rng.integers(0, length, int(0.02 * length)):
+            s[p] = rng.integers(0, 4)
+        if k == n_seqs - 1:
+            a, b = length // 3, 2 * length // 3
+            s[a:b] = (3 - s[a:b])[::-1]
+        out.append(s)
+    return out
+
+
+def test_runner_band_tiling_end_to_end():
+    """The production runner with band_tiling='auto' must produce the exact
+    AlignmentResults of 'off' while dispatching fewer, merged chunks."""
+    from seqrush_tpu.align.pairs import all_ordered_pairs
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+    from seqrush_tpu.sequences import make_sequence_set
+
+    codes = _bench_like_seqs()
+    b2a = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = make_sequence_set(
+        [(f"s{k}", b2a[c].tobytes()) for k, c in enumerate(codes)]
+    )
+    pairs = all_ordered_pairs(len(codes))
+
+    def run(tiling):
+        # budget scaled so the band buckets split into two chunks (as the
+        # bench-scale workload's 2.6 GB budget forces) while the merged
+        # tiled chunk still fits
+        cfg = RunnerConfig(
+            scores=AlignmentScores.parse("0,5,8,2,24,1"),
+            threads=2,
+            band_tiling=tiling,
+            memory_budget_bytes=int(70e6),
+        )
+        al = WfaAligner(seqs, cfg)
+        res = al.align_pairs(pairs)
+        return al, res
+
+    al_on, res_on = run("auto")
+    al_off, res_off = run("off")
+    assert al_on.stats["tiled_chunks"] >= 1, "tiling never engaged"
+    assert al_on.stats["tiled_rows"] >= 2
+    assert al_off.stats["tiled_chunks"] == 0
+    assert len(res_on) == len(res_off) == len(pairs)
+    for a, b in zip(res_on, res_off):
+        assert (a.query_idx, a.target_idx, a.is_reverse) == (
+            b.query_idx, b.target_idx, b.is_reverse
+        )
+        assert a.score == b.score
+        assert a.cigar == b.cigar
