@@ -152,12 +152,14 @@ class RunnerConfig:
     # narrow chunk by giving each wide pair (band_wide+1)/(band+1)
     # consecutive batch rows coupled by per-step halo columns
     # (ops/nw.py nw_align_with_runs_tiled) — ONE serial program instead of
-    # two, which matters because the scan cost is flat in B and W
-    # (docs/ROUND3_NOTES.md: the 64-pair band-1535 bucket costs as much
-    # wall clock as the 576-pair band-511 bucket).  'off' keeps one chunk
-    # per band bucket.  Results are bit-identical either way (parity
-    # pinned by tests/test_tiled.py).
-    band_tiling: str = "auto"
+    # two.  Results are bit-identical either way (tests/test_tiled.py).
+    # **Measured NEGATIVE on the tunnel TPU** (docs/PROFILE_TILED.json,
+    # interleaved same-window: merged 0.62-0.97 s vs 0.39-0.60 s for the
+    # two-dispatch shape on bench600) — the merged program's per-step body
+    # costs more than the deleted dispatch saved; decomposition in
+    # docs/PROFILE_TILED2.json attributes it.  Default 'off' until a
+    # variant beats the split on hardware.
+    band_tiling: str = "off"
     # cap on tiles per wide pair (wider jobs keep their own chunk)
     band_tiling_max_tiles: int = 4
 

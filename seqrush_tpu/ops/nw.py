@@ -46,6 +46,13 @@ STREAM_WINDOWS = True
 # streamed traceback rows in _tb_scan_tbw (tb consumed as reversed scan
 # inputs instead of one dynamic slice per walk step).  Same A/B contract.
 STREAM_WALK = True
+# band-tiling measurement-only flags (trace-time, clear caches after
+# flipping): TILED_HALO=False drops the sweep's cross-tile halo columns,
+# TILED_SIB=False drops the walk's sibling byte-sharing rolls — both
+# produce WRONG wide-pair results and exist solely to attribute the tiled
+# kernel's per-step cost between its coupling mechanisms on real hardware.
+TILED_HALO = True
+TILED_SIB = True
 
 # traceback byte layout: bits 0-2 H choice (0=match/mismatch diag, 1=D1,
 # 2=I1, 3=D2, 4=I2, 7=invalid); bit 3 I1 opened; bit 4 I2 opened;
@@ -2218,15 +2225,23 @@ def _sweep_tiled(
     def sr6(S):  # no halo: P1 only (tile-boundary cells still invalid there)
         return jnp.concatenate([inf_col6, S[:, :, :-1]], axis=2)
 
-    def sr6h(S):
-        left = jnp.roll(S[:, :, -1], 1, axis=1)
-        left = jnp.where(has_left[None, :], left, NEG)
-        return jnp.concatenate([left[:, :, None], S[:, :, :-1]], axis=2)
+    if TILED_HALO:
 
-    def sl6h(S):
-        right = jnp.roll(S[:, :, 0], -1, axis=1)
-        right = jnp.where(has_right[None, :], right, NEG)
-        return jnp.concatenate([S[:, :, 1:], right[:, :, None]], axis=2)
+        def sr6h(S):
+            left = jnp.roll(S[:, :, -1], 1, axis=1)
+            left = jnp.where(has_left[None, :], left, NEG)
+            return jnp.concatenate([left[:, :, None], S[:, :, :-1]], axis=2)
+
+        def sl6h(S):
+            right = jnp.roll(S[:, :, 0], -1, axis=1)
+            right = jnp.where(has_right[None, :], right, NEG)
+            return jnp.concatenate([S[:, :, 1:], right[:, :, None]], axis=2)
+
+    else:  # measurement-only: wrong wide-pair results (see TILED_HALO)
+        sr6h = sr6
+
+        def sl6h(S):
+            return jnp.concatenate([S[:, :, 1:], inf_col6], axis=2)
 
     def i0_n(t):
         return jnp.maximum((t - K + 1) // 2, 0)
@@ -2465,9 +2480,10 @@ def _tb_scan_tiled(
         active = (~done) & (cur_t == td)
         own = jnp.sum(jnp.where(lanes == (l - o_off)[:, None], row, 0), axis=1)
         b = own
-        for k in range(n_sib):
-            b = b + jnp.where(sib_fwd[k], jnp.roll(own, -(k + 1)), 0)
-            b = b + jnp.where(sib_bwd[k], jnp.roll(own, k + 1), 0)
+        if TILED_SIB:
+            for k in range(n_sib):
+                b = b + jnp.where(sib_fwd[k], jnp.roll(own, -(k + 1)), 0)
+                b = b + jnp.where(sib_bwd[k], jnp.roll(own, k + 1), 0)
 
         i = i0_of(td) + l
         j = td - i
