@@ -210,9 +210,22 @@ run_untiled(N704, KN)[0].block_until_ready()
 run_tiled()[0].block_until_ready()
 untiled_sweep_only(*N576, band=KN).block_until_ready()
 tiled_sweep_only(Qt, Tt, qlt, tlt, o_off, is_wide, hl, hr).block_until_ready()
+nw.nw_align_with_runs(
+    *W64, band=KW, tmax=TMAX, unroll=8, tb_unroll=8, **PEN
+)[0].block_until_ready()
+nw.nw_align_with_runs(
+    *W64, band=KW, tmax=TMAX, unroll=16, tb_unroll=8, **PEN
+)[0].block_until_ready()
 REPORT["warm_s"] = round(time.time() - t0, 1)
 print(f"[tiled2] warm {REPORT['warm_s']}s", flush=True)
 flush()
+
+def run_untiled_u(args, band, u, tu):
+    Q, T, ql, tl = args
+    return nw.nw_align_with_runs(
+        Q, T, ql, tl, band=band, tmax=TMAX, unroll=u, tb_unroll=tu, **PEN
+    )
+
 
 variants = [
     ("W64", lambda: run_untiled(W64, KW)),
@@ -220,6 +233,10 @@ variants = [
     ("T", run_tiled),
     ("Ts", lambda: tiled_sweep_only(Qt, Tt, qlt, tlt, o_off, is_wide, hl, hr)),
     ("Ns", lambda: untiled_sweep_only(*N576, band=KN)),
+    # the wide bucket is tiny (64 rows): deeper unroll may win there even
+    # though it lost on the mega chunk (ROUND3_NOTES §1 unroll ladder)
+    ("W64u8", lambda: run_untiled_u(W64, KW, 8, 8)),
+    ("W64u16", lambda: run_untiled_u(W64, KW, 16, 8)),
 ]
 results = {}
 for name, fn in variants:
