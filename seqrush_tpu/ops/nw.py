@@ -53,6 +53,10 @@ STREAM_WALK = True
 # kernel's per-step cost between its coupling mechanisms on real hardware.
 TILED_HALO = True
 TILED_SIB = True
+# walk byte-extraction in narrow dtypes (uint8 masked-max + int16 lanes,
+# exact — see _tb_scan_tbw).  Trace-time A/B flag, same contract as
+# STREAM_WINDOWS: flip + jax.clear_caches() for measurement only.
+WALK_U8 = True
 
 # traceback byte layout: bits 0-2 H choice (0=match/mismatch diag, 1=D1,
 # 2=I1, 3=D2, 4=I2, 7=invalid); bit 3 I1 opened; bit 4 I2 opened;
@@ -1210,7 +1214,14 @@ def _tb_scan_tbw(
     K = band
     qlens = qlens.astype(jnp.int32)
     tlens = tlens.astype(jnp.int32)
-    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+    # the per-step byte extraction is the walk's dominant [B, W] work
+    # (measured 56% of the whole fused program, docs/PROFILE_TILED2.json):
+    # keep it in the narrowest dtypes the VPU packs densest — int16 lane
+    # indices (valid whenever every lane value fits 15 bits; |l| <= t_total)
+    # and a uint8 masked-max in place of the int32 masked-sum (exactly one
+    # lane can match, so max == sum and never overflows)
+    lane_dt = jnp.int16 if WALK_U8 and t_total + 1 < (1 << 15) else jnp.int32
+    lanes = jnp.arange(W, dtype=lane_dt)[None, :]
 
     def i0_of(t):
         return jnp.maximum((t - K + 1) // 2, 0)
@@ -1235,15 +1246,18 @@ def _tb_scan_tbw(
     def body(state, xs):
         if stream:
             td, row = xs
-            row = row.astype(jnp.int32)
         else:
             td = xs
-            row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=0)[0].astype(
-                jnp.int32
-            )
+            row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=0)[0]
         cur_t, l, mat, done = state[:4]
         active = (~done) & (cur_t == td)
-        b = jnp.sum(jnp.where(lanes == l[:, None], row, 0), axis=1)
+        mask = lanes == l.astype(lane_dt)[:, None]
+        if WALK_U8:
+            b = jnp.max(jnp.where(mask, row, jnp.uint8(0)), axis=1).astype(
+                jnp.int32
+            )
+        else:
+            b = jnp.sum(jnp.where(mask, row.astype(jnp.int32), 0), axis=1)
 
         i0_t = i0_of(td)
         i = i0_t + l
@@ -2456,7 +2470,9 @@ def _tb_scan_tiled(
     tlens = tlens.astype(jnp.int32)
     K_row = K_row.astype(jnp.int32)
     o_off = o_off.astype(jnp.int32)
-    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+    # narrow-dtype byte extraction, as in _tb_scan_tbw (t_total < 2^15 is
+    # guaranteed below, so int16 lane indices are always valid here)
+    lanes = jnp.arange(W, dtype=jnp.int16)[None, :]
     if t_total + 1 >= (1 << 15):
         raise ValueError("run emission needs t_total < 32767")
     # backward sibling masks: row b-k is a tile of row b's pair
@@ -2475,10 +2491,10 @@ def _tb_scan_tiled(
 
     def body(state, xs):
         td, row = xs
-        row = row.astype(jnp.int32)
         cur_t, l, mat, done = state[:4]
         active = (~done) & (cur_t == td)
-        own = jnp.sum(jnp.where(lanes == (l - o_off)[:, None], row, 0), axis=1)
+        mask = lanes == (l - o_off).astype(jnp.int16)[:, None]
+        own = jnp.max(jnp.where(mask, row, jnp.uint8(0)), axis=1).astype(jnp.int32)
         b = own
         if TILED_SIB:
             for k in range(n_sib):
