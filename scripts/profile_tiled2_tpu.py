@@ -1,18 +1,25 @@
-"""TPU window: decompose the band-tiled kernel's measured regression.
+"""TPU window: wide-bucket unroll ladder + e2e A/B, then band-tiled decomposition.
 
-docs/PROFILE_TILED.json (interleaved) showed the merged tiled program
-SLOWER than the two-dispatch split (0.62-0.97 s vs 0.39-0.60 s e2e).
-This window attributes the per-step cost between the candidate causes,
-raw-kernel timings only (block_until_ready, no host decode):
+Two questions, in value order:
 
-  N576   untiled narrow   nw_align_with_runs  B=576  K=511   (anchor)
-  W64    untiled wide     nw_align_with_runs  B=64   K=1535
-  N704   untiled narrow   B=704 K=511          — pure B-scaling probe
-  T      tiled full       B=704 K=511/1535
-  Ts     tiled sweep-only (walk DCE'd)
-  Ns     untiled sweep-only B=576
-  Th     tiled full, TILED_HALO=False          — sweep halo cost
-  Tb     tiled full, TILED_SIB=False           — walk sibling-roll cost
+1. Is the wide-band chunk (64 rows x band 1535 — the inversion bucket,
+   ~45% of bench600 wall as its own serial program) floor-bound on the
+   scan's per-step sequencing?  If so, deeper unroll amortizes it:
+     W64      nw_align_with_runs B=64 K=1535 unroll=4  (current default)
+     W64u8    same, unroll=8  tb_unroll=8
+     W64u16   same, unroll=16 tb_unroll=8
+   If the best probe beats W64 by >10%, run an interleaved e2e A/B of
+   the full bench600 workload: RunnerConfig default vs unroll_small=best
+   (the runner's per-chunk rule routes only the small chunk to it).
+
+2. Decompose the band-tiled kernel's measured regression
+   (docs/PROFILE_TILED.json: merged 0.62-0.97 s vs split 0.39-0.60 s):
+     N704  untiled narrow B=704 K=511   — pure B-scaling probe
+     T     tiled full     B=704 K=511/1535
+     Ts    tiled sweep-only (walk DCE'd)
+     Ns    untiled sweep-only B=576
+     Th    tiled full, TILED_HALO=False — sweep halo cost
+     Tb    tiled full, TILED_SIB=False  — walk sibling-roll cost
 
 Interleave every variant with the N576 anchor; report anchor-relative
 ratios so window drift cancels.  Results -> docs/PROFILE_TILED2.json.
@@ -50,6 +57,7 @@ def _abort(msg):
     os._exit(3)
 
 
+T_START = time.time()
 wd = threading.Timer(1700.0, _abort, ("[tiled2] watchdog fired",))
 wd.daemon = True
 wd.start()
@@ -104,6 +112,130 @@ def mkpairs(B, wide_frac_inv=0.0):
 # untiled batches
 N576 = mkpairs(576)
 W64 = mkpairs(64, wide_frac_inv=True)
+
+
+def run_untiled(args, band):
+    Q, T, ql, tl = args
+    return nw.nw_align_with_runs(Q, T, ql, tl, band=band, tmax=TMAX, **PEN)
+
+
+def run_untiled_u(args, band, u, tu):
+    Q, T, ql, tl = args
+    return nw.nw_align_with_runs(
+        Q, T, ql, tl, band=band, tmax=TMAX, unroll=u, tb_unroll=tu, **PEN
+    )
+
+
+def bench_one(name, fn, n=2):
+    best = None
+    for _ in range(n):
+        t0 = time.time()
+        out = fn()
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+            out,
+        )
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def anchor():
+    return bench_one("N576", lambda: run_untiled(N576, KN))
+
+
+results = {}
+
+
+def measure(name, fn, n=2):
+    a1 = anchor()
+    dt = bench_one(name, fn, n)
+    a2 = anchor()
+    results[name] = dict(s=round(dt, 4), anchor=round((a1 + a2) / 2, 4),
+                         ratio=round(dt / ((a1 + a2) / 2), 3))
+    REPORT["raw"] = results
+    flush()
+    print(f"[tiled2] {name}: {dt:.4f}s (anchor {((a1+a2)/2):.4f})", flush=True)
+    return dt
+
+
+# ---- phase 1: wide-bucket unroll ladder -------------------------------------
+t0 = time.time()
+run_untiled(N576, KN)[0].block_until_ready()
+run_untiled(W64, KW)[0].block_until_ready()
+UNROLLS = [(8, 8), (16, 8), (16, 16)]
+for u, tu in UNROLLS:
+    run_untiled_u(W64, KW, u, tu)[0].block_until_ready()
+REPORT["warm1_s"] = round(time.time() - t0, 1)
+print(f"[tiled2] warm phase1 {REPORT['warm1_s']}s", flush=True)
+flush()
+
+w64_base = measure("W64", lambda: run_untiled(W64, KW))
+lad = {}
+for u, tu in UNROLLS:
+    lad[(u, tu)] = measure(
+        f"W64u{u}tb{tu}", lambda u=u, tu=tu: run_untiled_u(W64, KW, u, tu)
+    )
+# anchor-relative best (window drift cancels within the interleave)
+best_combo = min(lad, key=lambda k: results[f"W64u{k[0]}tb{k[1]}"]["ratio"])
+best_ratio = results[f"W64u{best_combo[0]}tb{best_combo[1]}"]["ratio"]
+base_ratio = results["W64"]["ratio"]
+REPORT["wide_unroll_best"] = dict(
+    unroll=best_combo[0], tb_unroll=best_combo[1],
+    ratio=best_ratio, base_ratio=base_ratio,
+    rel=round(best_ratio / base_ratio, 3),
+)
+flush()
+print(f"[tiled2] best wide unroll {best_combo}: {best_ratio/base_ratio:.3f}x of u4",
+      flush=True)
+
+# ---- phase 2: e2e A/B if the ladder moved >10% -------------------------------
+if best_ratio / base_ratio < 0.90:
+    import bench as bench_mod  # repo-root bench: same synth workload
+    from seqrush_tpu.align.pairs import all_ordered_pairs
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+    from seqrush_tpu.sequences import make_sequence_set
+
+    seqs = make_sequence_set(bench_mod.synth_hla(n_seqs=25))
+    pairs = all_ordered_pairs(25)
+    scores = AlignmentScores.parse("0,5,8,2,24,1")
+    al_a = WfaAligner(seqs, RunnerConfig(scores=scores, threads=16))
+    al_b = WfaAligner(
+        seqs,
+        RunnerConfig(
+            scores=scores, threads=16,
+            unroll_small=best_combo[0], tb_unroll_small=best_combo[1],
+        ),
+    )
+    t0 = time.time()
+    ra = al_a.align_pairs(pairs)
+    rb = al_b.align_pairs(pairs)
+    REPORT["warm2_s"] = round(time.time() - t0, 1)
+    assert [(r.score) for r in ra] == [(r.score) for r in rb]
+    e2e = {"default": [], "unroll_small": []}
+    for _ in range(3):
+        for key, al in (("default", al_a), ("unroll_small", al_b)):
+            for attr in ("_mh_fwd", "_mh_rc"):
+                if hasattr(al, attr):
+                    delattr(al, attr)
+            t0 = time.time()
+            res = al.align_pairs(pairs)
+            e2e[key].append(round(time.time() - t0, 4))
+    REPORT["e2e_bench600"] = {
+        k: dict(times=v, best=min(v), pairs_per_s=round(len(pairs) / min(v), 1))
+        for k, v in e2e.items()
+    }
+    flush()
+    print(f"[tiled2] e2e A/B: {json.dumps(REPORT['e2e_bench600'])}", flush=True)
+else:
+    print("[tiled2] wide unroll ladder flat; skipping e2e A/B", flush=True)
+
+# ---- phase 3: band-tiled decomposition (time-permitting) ---------------------
+if time.time() - T_START > 1100:
+    print("[tiled2] out of window budget; skipping tiled decomposition", flush=True)
+    sys.exit(0)
+
 N704 = mkpairs(704)
 
 # tiled batch: 552 narrow + 48 wide x 3 tiles = 696 -> 704
@@ -144,11 +276,6 @@ Qt, Tt = jnp.asarray(Qt), jnp.asarray(Tt)
 sibf_j = jnp.asarray(sibf)
 
 
-def run_untiled(args, band):
-    Q, T, ql, tl = args
-    return nw.nw_align_with_runs(Q, T, ql, tl, band=band, tmax=TMAX, **PEN)
-
-
 def run_tiled():
     return nw.nw_align_with_runs_tiled(
         Qt, Tt, qlt, tlt, o_off, is_wide, hl, hr, sibf_j,
@@ -184,73 +311,33 @@ def tiled_sweep_only(Q, T, ql, tl, o, w, l_, r_):
     return s
 
 
-def bench_one(name, fn, n=2):
-    best = None
-    for _ in range(n):
-        t0 = time.time()
-        out = fn()
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
-            out,
-        )
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return best
-
-
-def anchor():
-    return bench_one("N576", lambda: run_untiled(N576, KN))
-
-
-# ---- warm compiles ----------------------------------------------------------
+# warm compiles for phase 3
 t0 = time.time()
-run_untiled(N576, KN)[0].block_until_ready()
-run_untiled(W64, KW)[0].block_until_ready()
 run_untiled(N704, KN)[0].block_until_ready()
 run_tiled()[0].block_until_ready()
 untiled_sweep_only(*N576, band=KN).block_until_ready()
 tiled_sweep_only(Qt, Tt, qlt, tlt, o_off, is_wide, hl, hr).block_until_ready()
-nw.nw_align_with_runs(
-    *W64, band=KW, tmax=TMAX, unroll=8, tb_unroll=8, **PEN
-)[0].block_until_ready()
-nw.nw_align_with_runs(
-    *W64, band=KW, tmax=TMAX, unroll=16, tb_unroll=8, **PEN
-)[0].block_until_ready()
-REPORT["warm_s"] = round(time.time() - t0, 1)
-print(f"[tiled2] warm {REPORT['warm_s']}s", flush=True)
+REPORT["warm3_s"] = round(time.time() - t0, 1)
+print(f"[tiled2] warm phase3 {REPORT['warm3_s']}s", flush=True)
 flush()
 
-def run_untiled_u(args, band, u, tu):
-    Q, T, ql, tl = args
-    return nw.nw_align_with_runs(
-        Q, T, ql, tl, band=band, tmax=TMAX, unroll=u, tb_unroll=tu, **PEN
-    )
-
-
 variants = [
-    ("W64", lambda: run_untiled(W64, KW)),
     ("N704", lambda: run_untiled(N704, KN)),
     ("T", run_tiled),
     ("Ts", lambda: tiled_sweep_only(Qt, Tt, qlt, tlt, o_off, is_wide, hl, hr)),
     ("Ns", lambda: untiled_sweep_only(*N576, band=KN)),
-    # the wide bucket is tiny (64 rows): deeper unroll may win there even
-    # though it lost on the mega chunk (ROUND3_NOTES §1 unroll ladder)
-    ("W64u8", lambda: run_untiled_u(W64, KW, 8, 8)),
-    ("W64u16", lambda: run_untiled_u(W64, KW, 16, 8)),
 ]
-results = {}
 for name, fn in variants:
-    a1 = anchor()
-    dt = bench_one(name, fn)
-    a2 = anchor()
-    results[name] = dict(s=round(dt, 4), anchor=round((a1 + a2) / 2, 4),
-                         ratio=round(dt / ((a1 + a2) / 2), 3))
-    REPORT["raw"] = results
-    flush()
-    print(f"[tiled2] {name}: {dt:.4f}s (anchor {((a1+a2)/2):.4f})", flush=True)
+    if time.time() - T_START > 1450:
+        print(f"[tiled2] budget: skipping {name}+", flush=True)
+        break
+    measure(name, fn)
 
 # ---- flag variants (retrace after flipping trace-time flags) ---------------
 for flag, label in (("TILED_HALO", "Th"), ("TILED_SIB", "Tb")):
+    if time.time() - T_START > 1400:
+        print(f"[tiled2] budget: skipping {label}", flush=True)
+        break
     setattr(nw, flag, False)
     jax.clear_caches()
     t0 = time.time()

@@ -141,6 +141,16 @@ class RunnerConfig:
     # deeper unroll amortizes per-region sequencing across rows.
     unroll: int = 4
     tb_unroll: int = 4
+    # deeper unroll for SMALL chunks (padded B*(band+1) cell-rows at or
+    # below small_chunk_cells): the mega chunk is HBM-carry-bound, where
+    # deeper unroll measured WORSE (ROUND3_NOTES §1 ladder), but a small
+    # chunk's per-step tile (e.g. the 64-row band-1535 inversion bucket:
+    # 98k cells ≈ 2.4 MB carry) cannot hide the scan's per-step
+    # sequencing floor, which deeper unroll amortizes.  0 = disabled
+    # (use the flat unroll/tb_unroll above).
+    unroll_small: int = 0
+    tb_unroll_small: int = 0
+    small_chunk_cells: int = 1 << 17
     # traceback emission on the fused device path: 'runs' fetches run-length
     # (op, len) tokens ([B, nw.RUN_MAX] int32, ~6x smaller than packed
     # opcodes over the slow host link) and decodes at run granularity;
@@ -997,6 +1007,19 @@ class WfaAligner:
             qlens[rowmap], tlens[rowmap], band, use_int16,
         )
 
+    def _unroll_for(self, B: int, band: int) -> tuple[int, int]:
+        """Per-chunk scan unroll factors (sweep, walk).  Small chunks —
+        padded B*(band+1) cell-rows at or below small_chunk_cells — use the
+        deeper unroll_small to amortize the scan's per-step sequencing
+        floor; the mega chunk keeps the flat default (deeper unroll
+        measured worse there, ROUND3_NOTES §1)."""
+        if self.cfg.unroll_small and B * (band + 1) <= self.cfg.small_chunk_cells:
+            return (
+                self.cfg.unroll_small,
+                self.cfg.tb_unroll_small or self.cfg.tb_unroll,
+            )
+        return self.cfg.unroll, self.cfg.tb_unroll
+
     def _dispatch_nw_chunk(self, chunk, pen, pairs):
         from ..ops import nw
 
@@ -1006,6 +1029,7 @@ class WfaAligner:
         force32 = chunk[0][3]
         tmax = _round_up(max(q.size + t.size for *_, q, t in chunk), 512)
         B = self._quantize_batch(len(chunk))
+        u_sweep, u_walk = self._unroll_for(B, band)
         use_int16 = self.cfg.dp_dtype in ("int16", "auto") and not force32
         kw = dict(
             mismatch=pen.mismatch,
@@ -1089,8 +1113,8 @@ class WfaAligner:
                 # shape-dependent and unstable on this backend
                 scores, tokens, counts = nw.nw_align_with_runs(
                     Q, T, qlens, tlens, use_int16=use_int16,
-                    run_max=nw.RUN_MAX, unroll=self.cfg.unroll,
-                    tb_unroll=self.cfg.tb_unroll, **kw
+                    run_max=nw.RUN_MAX, unroll=u_sweep,
+                    tb_unroll=u_walk, **kw
                 )
                 return (
                     chunk, scores, ("runs", (tokens, counts)),
@@ -1098,7 +1122,7 @@ class WfaAligner:
                 )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16,
-                unroll=self.cfg.unroll, tb_unroll=self.cfg.tb_unroll, **kw
+                unroll=u_sweep, tb_unroll=u_walk, **kw
             )
             return chunk, scores, ("ops", opcodes), qlens, tlens, band, use_int16
 
@@ -1143,8 +1167,8 @@ class WfaAligner:
                 # and each chip's fetch shrinks the same ~6x as single-chip
                 scores, tokens, counts = nw.nw_align_with_runs(
                     Q, T, qlens, tlens, use_int16=use_int16,
-                    run_max=nw.RUN_MAX, unroll=self.cfg.unroll,
-                    tb_unroll=self.cfg.tb_unroll, **kw
+                    run_max=nw.RUN_MAX, unroll=u_sweep,
+                    tb_unroll=u_walk, **kw
                 )
                 return (
                     chunk, scores, ("runs", (tokens, counts)),
@@ -1152,7 +1176,7 @@ class WfaAligner:
                 )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16,
-                unroll=self.cfg.unroll, tb_unroll=self.cfg.tb_unroll, **kw
+                unroll=u_sweep, tb_unroll=u_walk, **kw
             )
             return (
                 chunk, scores, ("ops", opcodes),
@@ -1194,7 +1218,7 @@ class WfaAligner:
                 )
             scores, opcodes = nw.nw_align_with_opcodes(
                 Q, T, qlens, tlens, use_int16=use_int16,
-                unroll=self.cfg.unroll, tb_unroll=self.cfg.tb_unroll, **kw
+                unroll=u_sweep, tb_unroll=u_walk, **kw
             )
             return chunk, scores, ("ops", opcodes), qlens, tlens, band, use_int16
         scores, tb = nw.nw_align_device(Q, T, qlens, tlens, with_traceback=True, **kw)

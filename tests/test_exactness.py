@@ -152,6 +152,28 @@ def test_int16_saturation_retries_in_int32(monkeypatch):
     assert res[0].score == oracle(base, bytes(v))
 
 
+def test_unroll_small_route_matches_default():
+    """Per-chunk deep unroll (RunnerConfig.unroll_small) is a pure schedule
+    change: small chunks run the same kernel at a different scan unroll, so
+    scores and CIGARs must be bit-identical to the flat-unroll default."""
+    rng = np.random.default_rng(11)
+    base = rand_seq(rng, 600)
+    v = bytearray(base)
+    for pos in rng.integers(0, len(v), size=25):
+        v[pos] = rand_seq(rng, 1)[0]
+    del v[150:260]
+    seqs = [("a", base), ("b", bytes(v))]
+    pairs = np.array([[0, 1], [1, 0]])
+    r_def, _ = _run_set(seqs, pairs)
+    r_small, al = _run_set(seqs, pairs, unroll_small=8, tb_unroll_small=8)
+    # the small-chunk rule actually fires at these shapes
+    assert al._unroll_for(2, 255) == (8, 8)
+    assert al._unroll_for(1024, 1535) == (al.cfg.unroll, al.cfg.tb_unroll)
+    assert [(r.score, r.cigar) for r in r_def] == [
+        (r.score, r.cigar) for r in r_small
+    ]
+
+
 def test_undecided_orientation_resolved_in_main_batch():
     """A query ambiguous between fwd and RC (half matches each way) enters
     the main batch in both orientations; the better certified score wins and
