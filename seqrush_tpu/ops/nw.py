@@ -57,6 +57,15 @@ TILED_SIB = True
 # exact — see _tb_scan_tbw).  Trace-time A/B flag, same contract as
 # STREAM_WINDOWS: flip + jax.clear_caches() for measurement only.
 WALK_U8 = True
+# blocked-stripe walk (0 = off, else the block size S): the reverse walk
+# consumes S traceback rows per scan step, extracting a [B, 2S+1]-lane
+# stripe around each pair's block-entry lane with ONE int8 dot_general
+# (MXU) instead of S per-row [B, W] masked reductions — exact because the
+# walk's lane moves at most one per anti-diagonal row, so an S-row block
+# never leaves the stripe.  The S micro-steps then update on [B, 2S+1]
+# arrays.  Requires t_total % S == 0 and STREAM_WALK (callers fall back to
+# the per-row walk otherwise).  Trace-time flag, same A/B contract.
+WALK_BLOCK = 0
 
 # traceback byte layout: bits 0-2 H choice (0=match/mismatch diag, 1=D1,
 # 2=I1, 3=D2, 4=I2, 7=invalid); bit 3 I1 opened; bit 4 I2 opened;
@@ -1243,21 +1252,21 @@ def _tb_scan_tbw(
 
     stream = STREAM_WALK
 
-    def body(state, xs):
-        if stream:
-            td, row = xs
-        else:
-            td = xs
-            row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=0)[0]
-        cur_t, l, mat, done = state[:4]
-        active = (~done) & (cur_t == td)
+    def extract(row, l):
+        """Byte at lane l per pair, as a masked [B, W] reduction (gathers
+        are degenerate on TPU)."""
         mask = lanes == l.astype(lane_dt)[:, None]
         if WALK_U8:
-            b = jnp.max(jnp.where(mask, row, jnp.uint8(0)), axis=1).astype(
+            return jnp.max(jnp.where(mask, row, jnp.uint8(0)), axis=1).astype(
                 jnp.int32
             )
-        else:
-            b = jnp.sum(jnp.where(mask, row.astype(jnp.int32), 0), axis=1)
+        return jnp.sum(jnp.where(mask, row.astype(jnp.int32), 0), axis=1)
+
+    def update(state, td, b):
+        """One walk step given the extracted traceback byte b [B] int32 —
+        shared by the per-row and blocked walks (identical semantics)."""
+        cur_t, l, mat, done = state[:4]
+        active = (~done) & (cur_t == td)
 
         i0_t = i0_of(td)
         i = i0_t + l
@@ -1312,7 +1321,57 @@ def _tb_scan_tbw(
         run_sym = jnp.where(close, opa, run_sym)
         return (cur_t, l, mat, done, run_sym, run_len), out_tok
 
-    if stream:
+    def body(state, xs):
+        if stream:
+            td, row = xs
+        else:
+            td = xs
+            row = jax.lax.dynamic_slice_in_dim(tb, td, 1, axis=0)[0]
+        return update(state, td, extract(row, state[1]))
+
+    S = WALK_BLOCK
+    blocked = bool(S) and stream and t_total >= S and t_total % S == 0
+    if blocked:
+        # blocked-stripe walk: S rows per scan step.  The walk's lane moves
+        # at most one per anti-diagonal row, so over a block entered at
+        # lane l0 it stays inside [l0-S, l0+S] — extract that (2S+1)-lane
+        # stripe for all S rows with ONE batched int8 dot (exactly one lane
+        # matches per (pair, column), and tb bytes are <= 127, so the int8
+        # product is exact), then run the S micro-steps on [B, 2S+1] arrays.
+        C = 2 * S + 1
+        nblk = t_total // S
+        blocks = tb[1 : t_total + 1].reshape(nblk, S, B, W)
+        base = jnp.arange(nblk, dtype=jnp.int32) * S  # block k: td in [base+1, base+S]
+        w_iota = jnp.arange(W, dtype=jnp.int32)
+        c_iota = jnp.arange(C, dtype=jnp.int32)
+
+        def blk_body(state, xs):
+            b0, blk = xs  # [], [S, B, W]
+            l0 = state[1]  # block-entry lanes [B]
+            # U[b, w, c] = (w == l0[b] + c - S); out-of-band target lanes
+            # match no w, so their stripe bytes are 0 (inactive anyway)
+            U = (
+                w_iota[None, :, None] - l0[:, None, None]
+                == c_iota[None, None, :] - S
+            ).astype(jnp.int8)
+            stripe = jax.lax.dot_general(
+                blk.astype(jnp.int8), U,
+                dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # [B, S, C]
+            outs = [None] * S
+            for s in range(S - 1, -1, -1):  # descending td inside the block
+                rel = (state[1] - l0) + S  # current lane, stripe-relative
+                m = c_iota[None, :] == rel[:, None]
+                b = jnp.sum(jnp.where(m, stripe[:, s, :], 0), axis=1)
+                state, outs[s] = update(state, b0 + s + 1, b)
+            return state, jnp.stack(outs)  # [S, B] ascending td in block
+
+        state, ys = jax.lax.scan(
+            blk_body, state0, (base, blocks), reverse=True
+        )
+        ys = ys.reshape(t_total, B)  # ascending td, same contract as stream
+    elif stream:
         # reverse scan consumes tb rows as inputs (no per-step slice); ys
         # comes back in ASCENDING td order (original xs index positions)
         tds = jnp.arange(1, t_total + 1, dtype=jnp.int32)

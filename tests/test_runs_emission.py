@@ -119,6 +119,60 @@ def test_run_length_split_remerges(monkeypatch):
     assert items[0] == [(len(base), "=")]
 
 
+def test_blocked_walk_parity(monkeypatch):
+    """WALK_BLOCK (blocked-stripe walk: S traceback rows per scan step,
+    stripe extraction by one int8 dot) is a pure schedule change — scores,
+    run tokens, counts, and opcodes must be bit-identical to the per-row
+    walk on a workload covering SNPs, multi-indels, two-piece gaps, and
+    length-different pairs."""
+    import jax
+
+    rng = np.random.default_rng(21)
+    base = bytes(b"ACGT"[k] for k in rng.integers(0, 4, size=420))
+    pairs = [(base, base)]
+    for k in range(5):
+        pairs.append((base, _mutate(rng, base, 6 + k, 1 + k % 4)))
+    # large indel (two-piece gap regime) and length-different pairs
+    big = bytearray(base)
+    del big[100:190]
+    pairs.append((base, bytes(big)))
+    pairs.append((base[:352], base))
+    Q, T, qlens, tlens, qs, ts = _pack(pairs)
+    band = 127
+    tmax = 896  # multiple of 16: the blocked walk engages at S=16
+
+    ref = {}
+    for emit in ("runs", "ops"):
+        if emit == "runs":
+            s, tok, cnt = nw.nw_align_with_runs(
+                Q, T, qlens, tlens, band=band, tmax=tmax, **KW
+            )
+            ref[emit] = (np.asarray(s), np.asarray(tok), np.asarray(cnt))
+        else:
+            s, packed = nw.nw_align_with_opcodes(
+                Q, T, qlens, tlens, band=band, tmax=tmax, **KW
+            )
+            ref[emit] = (np.asarray(s), np.asarray(packed))
+
+    monkeypatch.setattr(nw, "WALK_BLOCK", 16)
+    # trace-time flag: drop cached compilations so it takes effect
+    jax.clear_caches()
+    try:
+        s, tok, cnt = nw.nw_align_with_runs(
+            Q, T, qlens, tlens, band=band, tmax=tmax, **KW
+        )
+        np.testing.assert_array_equal(ref["runs"][0], np.asarray(s))
+        np.testing.assert_array_equal(ref["runs"][1], np.asarray(tok))
+        np.testing.assert_array_equal(ref["runs"][2], np.asarray(cnt))
+        s, packed = nw.nw_align_with_opcodes(
+            Q, T, qlens, tlens, band=band, tmax=tmax, **KW
+        )
+        np.testing.assert_array_equal(ref["ops"][0], np.asarray(s))
+        np.testing.assert_array_equal(ref["ops"][1], np.asarray(packed))
+    finally:
+        jax.clear_caches()  # don't leak blocked-walk compilations
+
+
 def test_runner_emit_modes_agree():
     """End-to-end runner parity between emissions on a mixed workload."""
     rng = np.random.default_rng(3)
