@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sgd-eps", type=float, default=0.01, help=argparse.SUPPRESS)
     p.add_argument("--sgd-cooling-start", type=float, default=0.5, help=argparse.SUPPRESS)
     p.add_argument(
-        "--topo-mode", choices=("best", "stable", "odgi"), default="best",
+        "--topo-mode", choices=("best", "stable", "bubble", "odgi"), default="best",
         dest="topo_mode",
         help="final Ygs ordering: 'best' (lowest-RMSE of four candidates), "
         "'stable' (SGD-stable bounded topo), 'odgi' (reference-exact 's')",

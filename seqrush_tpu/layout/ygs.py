@@ -42,12 +42,15 @@ class YgsParams:
     #   refine_rounds — median path-context repair of SGD outliers between
     #     the Y and g phases (layout/sgd.py refine_positions); 0 disables.
     #   topo_mode — final ordering:
-    #     'best' = evaluate four candidate orderings (refined-SGD order,
+    #     'best' = evaluate candidate orderings (refined-SGD order,
     #       exact-ODGI topo, ODGI topo + rank refinement, bounded-stall
-    #       stable topo) by layout RMSE and apply the winner — the
-    #       evaluation is one pass over path steps, cheap next to SGD;
+    #       stable topo, bubble-chain, bubble-chain + rank refinement)
+    #       by layout RMSE and apply the winner — the evaluation is one
+    #       pass over path steps, cheap next to SGD;
     #     'stable' = bounded-displacement topological order over majority
     #       path flow (graph/toposort.py sgd_stable_topological_order);
+    #     'bubble' = path-anchor bubble-chain order (layout/bubbles.py,
+    #       the reference's documented-but-unbuilt povu proposal);
     #     'odgi' = the reference/ODGI exact 's' phase (parity mode).
     refine_rounds: int = 4
     topo_mode: str = "best"
@@ -108,6 +111,13 @@ def ygs_sort(
             graph.apply_ordering(
                 sgd_stable_topological_order(graph, params.stall_bound)
             )
+        elif params.topo_mode == "bubble":
+            from .bubbles import bubble_chain_order
+
+            order = bubble_chain_order(graph)
+            if order is None:  # no consistent anchor chain: reference 's'
+                order = exact_odgi_topological_order(graph, True, False)
+            graph.apply_ordering(order)
         elif params.topo_mode == "best":
             graph.apply_ordering(_best_final_order(graph, params))
             if params.refine_rounds > 0:
@@ -155,38 +165,49 @@ def rmse_for_order(graph: BidirectedGraph, order: list[int]) -> float:
 
 
 def _best_final_order(graph: BidirectedGraph, params: "YgsParams") -> list[int]:
-    """Four candidate final orderings, scored by the layout metric itself;
+    """Candidate final orderings, scored by the layout metric itself;
     ties keep the earlier (more reference-faithful) candidate.  Measured:
     the exact-ODGI topo sometimes REPAIRS SGD catastrophes (its constraints
     pull displaced blocks back together) and sometimes AMPLIFIES them (one
     mis-ranked predecessor stalls a block); no single ordering dominates,
     but the metric is one cheap pass over path steps, so evaluating all
     candidates costs ~nothing next to the SGD phase."""
+    from .bubbles import bubble_chain_order
     from .sgd import refine_positions
 
-    ord_y = [nid << 1 for nid in sorted(graph.nodes)]
-    ord_odgi = exact_odgi_topological_order(graph, True, False)
-    candidates = [ord_odgi]
-    if params.refine_rounds > 0:  # 0 disables ALL refinement (YgsParams doc)
-        # ODGI order + median rank-position refinement + re-sort
+    def refined_order(base: list[int]) -> list[int]:
         pos: dict[int, float] = {}
         cum = 0
-        for h in ord_odgi:
+        for h in base:
             nid = int(h) >> 1
             pos[nid] = float(cum)
             cum += len(graph.nodes[nid])
         refined = refine_positions(graph, pos, params.refine_rounds)
-        candidates.append(
-            [n << 1 for n, _ in sorted(refined.items(), key=lambda kv: (kv[1], kv[0]))]
-        )
+        return [
+            n << 1 for n, _ in sorted(refined.items(), key=lambda kv: (kv[1], kv[0]))
+        ]
+
+    ord_y = [nid << 1 for nid in sorted(graph.nodes)]
+    ord_odgi = exact_odgi_topological_order(graph, True, False)
+    candidates = [ord_odgi]
+    names = ["odgi"]
+    if params.refine_rounds > 0:  # 0 disables ALL refinement (YgsParams doc)
+        candidates.append(refined_order(ord_odgi))
+        names.append("odgi+refine")
     candidates.append(sgd_stable_topological_order(graph, params.stall_bound))
+    names.append("stable")
+    ord_bubble = bubble_chain_order(graph)
+    if ord_bubble is not None:
+        candidates.append(ord_bubble)
+        names.append("bubble")
+        if params.refine_rounds > 0:
+            candidates.append(refined_order(ord_bubble))
+            names.append("bubble+refine")
     candidates.append(ord_y)
+    names.append("sgd")
     scores = [rmse_for_order(graph, o) for o in candidates]
     best = min(range(len(candidates)), key=lambda k: scores[k])
     if params.verbose:
-        names = ["odgi", "odgi+refine", "stable", "sgd"]
-        if params.refine_rounds <= 0:
-            names.remove("odgi+refine")
         print(
             f"[ygs_sort] final-order candidates ({', '.join(names)}): "
             f"RMSE {[round(s, 1) for s in scores]} -> {names[best]}"
