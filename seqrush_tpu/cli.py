@@ -58,8 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--topo-mode", choices=("best", "stable", "bubble", "odgi"), default="best",
         dest="topo_mode",
-        help="final Ygs ordering: 'best' (lowest-RMSE of four candidates), "
-        "'stable' (SGD-stable bounded topo), 'odgi' (reference-exact 's')",
+        help="final Ygs ordering: 'best' (lowest-RMSE of up to six candidates), "
+        "'stable' (SGD-stable bounded topo), 'bubble' (path-anchor "
+        "bubble-chain), 'odgi' (reference-exact 's')",
     )
     # deprecated flags, accepted for compatibility
     p.add_argument("--sort-groom-sort", action="store_true", help=argparse.SUPPRESS)
