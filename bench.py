@@ -212,9 +212,20 @@ def main():
         sat_gcells = 0.0
         print(f"[bench] headline saturated run failed: {e}", file=sys.stderr)
 
+    # the driver runs this under a hard timeout; in a catastrophically slow
+    # tunnel window the optional phases below must not starve the final
+    # JSON print (no line = no recorded round).  Skip them past the deadline.
+    def _past_deadline(s=300.0):
+        late = time.time() - t_proc0 > s
+        if late:
+            print(f"[bench] {s:.0f}s deadline passed; skipping optional phase", file=sys.stderr)
+        return late
+
     # end-to-end FASTA->GFA wall-clock (BASELINE.md's e2e row; stderr only —
     # the JSON metric stays the alignment-throughput north star)
     try:
+        if _past_deadline():
+            raise TimeoutError("deadline")
         from seqrush_tpu.config import Args
         from seqrush_tpu.pipeline import SeqRushTPU
 
@@ -242,6 +253,8 @@ def main():
     # measured number; VERDICT r2 #3)
     sweep_value = 0.0
     try:
+        if _past_deadline():
+            raise TimeoutError("deadline")
         from seqrush_tpu.align.sweep import SweepAligner
 
         al_sw = SweepAligner(seqs_sat, cfg)
