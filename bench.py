@@ -299,7 +299,7 @@ def main():
                 sat_gcells = al_sat.stats["cells_padded"] / sat2 / 1e9
             print(
                 f"[bench] headline resample: best {value:.0f} alignments/s "
-                f"(round-2 best_dt {sat2}s)",
+                f"(resample best_dt {sat2}s)",
                 file=sys.stderr,
             )
     except Exception as e:
