@@ -192,10 +192,9 @@ def main():
         pairs_sat = all_ordered_pairs(25)
         al_sat = WfaAligner(seqs_sat, cfg)
         al_sat.align_pairs(pairs_sat)  # warm compile + resident upload
-        # best-of-4 now, plus a second sampling round after the e2e/sweepga
-        # phases below: tunnel-window throughput drifts 2-3x on a timescale
-        # of minutes (docs/ROUND3_NOTES.md), so sampling the window at two
-        # separated time points materially raises the expected best
+        # best-of-4 = the headline (anchor_first); the same workload is
+        # resampled after the e2e/sweepga phases below as anchor_last, so
+        # the JSON carries the window's own 2-3x drift bar (ROUND3_NOTES)
         sat_best, res_sat = _timed_best_passes(al_sat, pairs_sat, 4)
         value = len(res_sat) / sat_best
         st = al_sat.stats
@@ -238,13 +237,18 @@ def main():
         sr.align_and_unite()
         g = sr.write_gfa()
         e2e = time.time() - t0
+        # phase split (VERDICT r3 weak #2: a layout-quality feature silently
+        # ate the e2e row once; the split makes any regression attributable)
+        e2e_phases = {k: round(v, 3) for k, v in sr.timer.phases.items()}
         print(
             f"[bench] e2e FASTA->GFA: {e2e:.2f}s "
-            f"({g.node_count()} nodes, validated)",
+            f"({g.node_count()} nodes, validated); phases: "
+            + " ".join(f"{k}={v:.2f}s" for k, v in sr.timer.phases.items()),
             file=sys.stderr,
         )
     except Exception as e:  # never let the e2e extra break the metric line
         e2e = 0.0
+        e2e_phases = {}
         print(f"[bench] e2e run failed: {e}", file=sys.stderr)
 
     # sweepga backend throughput on the same saturated workload (the
@@ -286,22 +290,31 @@ def main():
     except Exception as e:
         print(f"[bench] sweepga run failed: {e}", file=sys.stderr)
 
-    # second headline sampling round, ~1-2 min after the first (see the
-    # drift note above).  Budgeted to keep the whole process comfortably
-    # inside the driver's timeout even on a cold cache / slow window.
+    # second sampling of the SAME anchor workload, minutes after the first:
+    # tunnel-window throughput drifts 2-3x (docs/ROUND3_NOTES.md), so the
+    # first/last pair carries the round's own drift bar in the JSON
+    # (VERDICT r3 next #5).  The headline `value` stays the FIRST round's
+    # best-of-4 — comparable with every prior recorded round; the resample
+    # is reported separately, never folded into `value` (ADVICE r3 medium).
+    anchor_last = 0.0
     try:
-        if value > 0.0:
+        # only start the resample with enough margin for one worst-case
+        # pass (~40 s in a catastrophically slow window) before the 550 s
+        # driver timeout would eat the JSON line (ADVICE r3 low)
+        if value > 0.0 and not _past_deadline(380.0):
             sat2, res2 = _timed_best_passes(
                 al_sat, pairs_sat, 4, budget_s=420.0, t_start=t_proc0
             )
-            if sat2 is not None and len(res2) / sat2 > value:
-                value = len(res2) / sat2
-                sat_gcells = al_sat.stats["cells_padded"] / sat2 / 1e9
-            print(
-                f"[bench] headline resample: best {value:.0f} alignments/s "
-                f"(resample best_dt {sat2}s)",
-                file=sys.stderr,
-            )
+            if sat2 is not None:
+                anchor_last = len(res2) / sat2
+                print(
+                    f"[bench] headline resample (anchor_last): "
+                    f"{anchor_last:.0f} alignments/s (best_dt {sat2:.3f}s; "
+                    f"anchor_first {value:.0f})",
+                    file=sys.stderr,
+                )
+            else:
+                print("[bench] headline resample skipped: budget spent", file=sys.stderr)
     except Exception as e:
         print(f"[bench] headline resample failed: {e}", file=sys.stderr)
 
@@ -312,9 +325,12 @@ def main():
                 "value": round(value, 2),
                 "unit": "alignments/s",
                 "vs_baseline": round(value / BASELINE_ALIGNMENTS_PER_S, 3),
+                "anchor_first_alignments_per_s": round(value, 2),
+                "anchor_last_alignments_per_s": round(anchor_last, 2),
                 "latency_72pair_alignments_per_s": round(lat_value, 2),
                 "saturated_gcells_per_s": round(sat_gcells, 2),
                 "e2e_fasta_to_gfa_s": round(e2e, 2),
+                "e2e_phases_s": e2e_phases,
                 "sweepga_600pair_pairs_per_s": round(sweep_value, 2),
             }
         )

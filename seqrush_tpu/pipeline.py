@@ -463,14 +463,16 @@ class SeqRushTPU:
         args = self.args
         t0 = time.time()
         if graph is None:
-            graph = self.build_graph()
+            with self.timer.phase("induce"):
+                graph = self.build_graph()
 
         if not args.no_compact:
             from .graph.compact import compact
 
             before = graph.node_count()
-            compact(graph)
-            graph.renumber_nodes_sequentially()
+            with self.timer.phase("compact"):
+                compact(graph)
+                graph.renumber_nodes_sequentially()
             if args.verbose:
                 print(f"Compacted from {before} to {graph.node_count()} nodes")
 
@@ -485,13 +487,14 @@ class SeqRushTPU:
             params.topo_mode = args.topo_mode
             if args.sgd_eta_max is not None:
                 params.eta_max = args.sgd_eta_max
-            ygs_sort(
-                graph,
-                params,
-                use_sgd=not args.skip_sgd,
-                use_groom=not args.skip_groom,
-                use_topo=not args.skip_topo,
-            )
+            with self.timer.phase("layout"):
+                ygs_sort(
+                    graph,
+                    params,
+                    use_sgd=not args.skip_sgd,
+                    use_groom=not args.skip_groom,
+                    use_topo=not args.skip_topo,
+                )
 
         with self.timer.phase("validate"):
             errors = self.validate_paths_match_sequences(graph)
@@ -507,7 +510,7 @@ class SeqRushTPU:
 
             if jax.process_index() != 0:
                 out_path = f"{args.output}.host{jax.process_index()}"
-        with open(out_path, "w") as fh:
+        with self.timer.phase("write"), open(out_path, "w") as fh:
             graph.write_gfa(fh)
         self.stats["write_wall_s"] = time.time() - t0
         if args.verbose:
