@@ -279,6 +279,36 @@ class BidirectedGraph:
         orphans = set(self.nodes) - covered
         if orphans:
             errors.append(f"{len(orphans)} nodes not covered by any path")
+        # every stored edge must be traversed by some path, in either
+        # direction (the reference's edge-traversal battery asserts that no
+        # L line exists that no path walks and that self-loops stay minimal,
+        # /root/reference/tests/test_edge_traversal.rs:17-176).  Edges come
+        # only from observed path adjacencies here, so an untraversed edge
+        # means builder/compaction corruption.
+        traversed: set[tuple[int, int]] = set()
+        for path in self.paths:
+            for a, b in zip(path.steps[:-1], path.steps[1:]):
+                a, b = int(a), int(b)
+                traversed.add((a, b))
+                traversed.add((b ^ 1, a ^ 1))  # bidirected complement
+        untraversed = [e for e in self.edges if e not in traversed]
+        if untraversed:
+            errors.append(
+                f"{len(untraversed)} edges not traversed by any path "
+                f"(first: {untraversed[0][0] >> 1}"
+                f"{'-' if untraversed[0][0] & 1 else '+'} -> "
+                f"{untraversed[0][1] >> 1}"
+                f"{'-' if untraversed[0][1] & 1 else '+'})"
+            )
+        # self-loop legality: a node-level self-loop (f>>1 == t>>1) is only
+        # legal when a path actually walks it (tandem repeat); spurious
+        # self-loops are a classic unite-corruption symptom
+        for f, t in self.edges:
+            if f >> 1 == t >> 1 and (f, t) not in traversed:
+                errors.append(
+                    f"spurious self-loop on node {f >> 1} "
+                    "(no path traverses it)"
+                )
         if originals is not None:
             for path in self.paths:
                 want = originals.get(path.name)
