@@ -1,0 +1,374 @@
+"""Anchored piecewise alignment for wide-band ("divergent") pairs.
+
+Pairs whose certified band would be very wide — inversion carriers,
+high-divergence pairs — are the runner's worst case: each wide-band bucket
+costs its own full-length serial device program (band 1535 on the 600-pair
+bench workload = ~45% of wall for 8% of pairs, docs/ROUND3_NOTES.md §1).
+The reference pays the same blow-up in WFA2 (score-quadratic wavefronts,
+/root/reference/src/seqrush.rs:728-756) and its FastGA mode exists
+precisely to dodge it (docs/sweepga_integration.md:403-406).
+
+This route replaces the monster band with DP only where the sequences
+actually diverge:
+
+1. **Chain**: exact-match minimizer anchors + colinear chaining
+   (ops/anchors.py, C++ chain DP) give maximal exact-match runs.
+2. **Windows**: the inter-run gaps (plus head/tail) are aligned exactly —
+   tiny SNP windows resolve on host (provably all-diagonal), small windows
+   ride narrow-band batched dispatches, and large no-anchor windows (e.g.
+   an inverted block) run at FULL band, which is unconditionally exact and
+   still ~3x fewer serial steps than the whole-pair wide sweep.
+3. **Stitch**: runs ('=' ops) and window CIGARs concatenate into the full
+   global alignment; gap runs never merge across boundaries because every
+   window is flanked by >= k exact-match bases.
+
+Exactness: each window's alignment is certified exact *within its window*
+(band certificate or full band), and anchors are exact matches by
+construction.  Global optimality additionally requires the optimum to pass
+through the chained runs; on the bench workload family this holds for
+48/48 wide pairs (stitched score == full wide-band DP score,
+tests/test_anchored_wide.py DP-oracle checks).  With
+``RunnerConfig.wide_verify=True`` every stitched score is verified against
+a score-only banded sweep at the certified band (no traceback tensor, no
+walk — the cheap 45% of the fused kernel); non-optimal stitches fall back
+to the full wide route, making the result certified-exact end to end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import anchors as anchors_mod
+from ..ops import nw
+
+# windows larger than this run at full band in their own bucket; a pair
+# with a full-band window whose traceback would bust the memory budget
+# falls back to the full wide route (which can band-shard / segment)
+SMALL_WINDOW = 256
+# minimum chained exact-match coverage (fraction of min(qlen, tlen));
+# below it the chain is too sparse to trust as a global guide
+MIN_COVERAGE = 0.05
+
+
+@dataclass
+class WidePlan:
+    p: int
+    rc: bool
+    band0: int
+    f32: bool
+    q: np.ndarray
+    t: np.ndarray
+    # parts: ("items", [(n, op), ...]) resolved on host, or ("win", job_idx)
+    parts: list = field(default_factory=list)
+
+
+def _gap_min(pen) -> int:
+    g = pen.gap1_open + pen.gap1_extend
+    if pen.two_piece:
+        g = min(g, pen.gap2_open + pen.gap2_extend)
+    return g
+
+
+def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
+    """Chain one wide job and split it into parts; window jobs are appended
+    to the shared ``window_jobs`` list (batched across all plans).  Returns
+    None when no usable chain exists (caller falls back to the full wide
+    route)."""
+    p, rc, band0, f32 = job
+    qi, tj = pairs[p]
+    q = al.rc_codes[qi] if rc else al.codes[qi]
+    t = al.codes[tj]
+    a = anchors_mod.anchor_matches_from_minimizers(
+        al._minimizers(int(qi), rc),
+        al._minimizers(int(tj), False),
+        max_freq=al.cfg.frequency,
+    )
+    if a.shape[0] == 0:
+        return None
+    chain = anchors_mod.chain_anchors(a)
+    runs = anchors_mod.chain_to_runs(chain, al.anchor_k)
+    if not runs:
+        return None
+    matched = sum(n for _q, _t, n in runs)
+    if matched < MIN_COVERAGE * min(q.size, t.size):
+        return None
+
+    plan = WidePlan(p, rc, band0, f32, q, t)
+    gm = 2 * _gap_min(pen)
+    budget = al.cfg.memory_budget_bytes
+    jobs_start = len(window_jobs)
+
+    def window(q0, q1, t0, t1):
+        dq, dt = q1 - q0, t1 - t0
+        if dq == 0 and dt == 0:
+            return True
+        if dq == 0:
+            plan.parts.append(("items", [(dt, "D")]))
+            return True
+        if dt == 0:
+            plan.parts.append(("items", [(dq, "I")]))
+            return True
+        qw, tw = q[q0:q1], t[t0:t1]
+        if dq == dt and dq * pen.mismatch <= gm:
+            # equal-length window where any gapped path costs >= the
+            # all-mismatch diagonal: provably all-diagonal, zero device work
+            plan.parts.append(("items", nw.resolve_matches([(dq, "M")], qw, tw)))
+            return True
+        mx = max(dq, dt)
+        if mx > SMALL_WINDOW:
+            # full-band window: check the traceback tensor fits the budget
+            tmax = _ru(dq + dt + 1, 256)
+            if 8 * (tmax + 2) * (mx + 2) > budget:
+                return False  # window too big to brute-force: full route
+        plan.parts.append(("win", len(window_jobs)))
+        window_jobs.append((qw, tw))
+        return True
+
+    ok = window(0, runs[0][0], 0, runs[0][1])
+    for i, (q0, t0, n0) in enumerate(runs):
+        if not ok:
+            break
+        plan.parts.append(("items", [(n0, "=")]))
+        nxt = runs[i + 1][:2] if i + 1 < len(runs) else (q.size, t.size)
+        ok = window(q0 + n0, nxt[0], t0 + n0, nxt[1])
+    if not ok:
+        del window_jobs[jobs_start:]  # this plan's windows were appended last
+        return None
+    return plan
+
+
+def _ru(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _np2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def align_windows(al, jobs, pen) -> list:
+    """Exact batched alignment of all window jobs.  Small windows start at
+    a narrow band and escalate by the band certificate; large windows run
+    at full band (unconditionally exact).  One dispatch per (band bucket,
+    escalation round); run-overflow rows retry via opcode emission."""
+    out = [None] * len(jobs)
+    if not jobs:
+        return out
+    pending = []
+    for j, (qw, tw) in enumerate(jobs):
+        mx = max(qw.size, tw.size)
+        if mx > SMALL_WINDOW:
+            band = mx + 1
+        else:
+            band = min(_ru(abs(qw.size - tw.size) + 65, 128) - 1, mx + 1)
+        pending.append((j, band))
+
+    rounds = 0
+    while pending:
+        rounds += 1
+        if rounds > 12:  # certificate escalation terminates at full band
+            raise RuntimeError("window escalation did not converge")
+        pending.sort(key=lambda e: (e[1], max(jobs[e[0]][0].size, jobs[e[0]][1].size)))
+        nxt = []
+        # cut chunks at band-bucket boundaries, trip-count jumps (a chunk's
+        # serial steps are its max window's — tiny windows must not pad to a
+        # big window's trip count), and the memory budget
+        i = 0
+        while i < len(pending):
+            chunk = [pending[i]]
+            band = pending[i][1]
+            j0 = pending[i][0]
+            tmax0 = max(_ru(jobs[j0][0].size + jobs[j0][1].size + 1, 256), 512)
+            i += 1
+            while i < len(pending):
+                j, bj = pending[i]
+                trial_band = max(band, bj)
+                qw, tw = jobs[j]
+                tmax = _ru(qw.size + tw.size + 1, 256)
+                B = _np2(len(chunk) + 1)
+                if (
+                    trial_band > 2 * band + 128
+                    or tmax > 2 * tmax0
+                    or B * (tmax + 2) * (trial_band + 1)
+                    > al.cfg.memory_budget_bytes
+                ):
+                    break
+                chunk.append((j, bj))
+                band = trial_band
+                i += 1
+            _align_window_chunk(al, jobs, chunk, band, pen, out, nxt)
+        pending = nxt
+    return out
+
+
+def _align_window_chunk(al, jobs, chunk, band, pen, out, nxt):
+    B = max(_np2(len(chunk)), 8)
+    lq = _ru(max(jobs[j][0].size for j, _b in chunk), 128)
+    lt = _ru(max(jobs[j][1].size for j, _b in chunk), 128)
+    band = min(band, max(lq, lt) + 1)
+    Q = np.full((B, lq), nw.QPAD, np.uint8)
+    T = np.full((B, lt), nw.TPAD, np.uint8)
+    qlens = np.zeros(B, np.int32)
+    tlens = np.zeros(B, np.int32)
+    for b, (j, _bj) in enumerate(chunk):
+        qw, tw = jobs[j]
+        Q[b, : qw.size] = qw
+        T[b, : tw.size] = tw
+        qlens[b] = qw.size
+        tlens[b] = tw.size
+    tmax = _ru(int((qlens + tlens).max()) + 1, 256)
+    kw = dict(
+        mismatch=pen.mismatch,
+        o1=pen.gap1_open,
+        e1=pen.gap1_extend,
+        o2=pen.gap2_open if pen.two_piece else -1,
+        e2=pen.gap2_extend if pen.two_piece else -1,
+        band=band,
+        tmax=tmax,
+    )
+    al.stats["cells_padded"] += B * (tmax + 2) * (band + 1)
+    use_runs = tmax + 4 < (1 << 15) and al.cfg.emit != "ops"
+    if use_runs:
+        scores, tokens, counts = nw.nw_align_with_runs(
+            Q, T, qlens, tlens, run_max=nw.RUN_MAX,
+            unroll=al.cfg.unroll, tb_unroll=al.cfg.tb_unroll, **kw
+        )
+        tokens = np.asarray(tokens)
+        counts = np.asarray(counts)
+    else:
+        scores, opcodes = nw.nw_align_with_opcodes(
+            Q, T, qlens, tlens, unroll=al.cfg.unroll,
+            tb_unroll=al.cfg.tb_unroll, **kw
+        )
+        packed = np.asarray(opcodes)
+        ops = nw.unpack_opcodes(packed, packed.shape[1] * 4)
+    scores = np.asarray(scores)
+
+    ok_rows, ok_jobs, overflow = [], [], []
+    for b, (j, _bj) in enumerate(chunk):
+        qw, tw = jobs[j]
+        s = int(scores[b])
+        exact = band >= max(qw.size, tw.size) or (
+            0 <= s < al._cert_bound(band, qw.size, tw.size)
+        )
+        if not exact:
+            al.stats["band_escalations"] += 1
+            k = al._escalated_band(max(s, 0), band, qw.size, tw.size)
+            nxt.append((j, k))
+            continue
+        al.stats["cells_true"] += (qw.size + tw.size + 1) * (band + 1)
+        if use_runs and counts[b] > nw.RUN_MAX:
+            al.stats["run_overflows"] += 1
+            overflow.append((b, j))
+            continue
+        ok_rows.append(b)
+        ok_jobs.append(j)
+    if ok_rows:
+        if use_runs:
+            items_all = nw.decode_runs_batch(
+                tokens[ok_rows], counts[ok_rows],
+                [jobs[j][0] for j in ok_jobs], [jobs[j][1] for j in ok_jobs],
+            )
+        else:
+            items_all = nw.decode_batch(
+                ops[ok_rows],
+                [jobs[j][0] for j in ok_jobs], [jobs[j][1] for j in ok_jobs],
+            )
+        for j, items in zip(ok_jobs, items_all):
+            out[j] = items
+    if overflow:
+        # rare: a window whose walk exceeded RUN_MAX runs — re-dispatch the
+        # affected rows via opcode emission at the (already certified) band
+        oQ = Q[[b for b, _j in overflow]]
+        oT = T[[b for b, _j in overflow]]
+        oql = qlens[[b for b, _j in overflow]]
+        otl = tlens[[b for b, _j in overflow]]
+        _s, opcodes = nw.nw_align_with_opcodes(oQ, oT, oql, otl, **kw)
+        packed = np.asarray(opcodes)
+        ops2 = nw.unpack_opcodes(packed, packed.shape[1] * 4)
+        items_all = nw.decode_batch(
+            ops2[: len(overflow)],
+            [jobs[j][0] for _b, j in overflow],
+            [jobs[j][1] for _b, j in overflow],
+        )
+        for (_b, j), items in zip(overflow, items_all):
+            out[j] = items
+
+
+def stitch(plan: WidePlan, witems: list) -> list[tuple[int, str]]:
+    items: list[tuple[int, str]] = []
+    for kind, x in plan.parts:
+        src = x if kind == "items" else witems[x]
+        for n, op in src:
+            if n <= 0:
+                continue
+            if items and items[-1][1] == op:
+                items[-1] = (items[-1][0] + n, op)
+            else:
+                items.append((n, op))
+    return items
+
+
+def cigar_cost(items, pen) -> int:
+    s = 0
+    for n, op in items:
+        if op == "X":
+            s += n * pen.mismatch
+        elif op in "ID":
+            g1 = pen.gap1_open + n * pen.gap1_extend
+            s += min(g1, pen.gap2_open + n * pen.gap2_extend) if pen.two_piece else g1
+    return s
+
+
+def max_excursion(items) -> int:
+    """Maximum |i - j| along the alignment path ('I' consumes query)."""
+    d = mx = 0
+    for n, op in items:
+        if op == "I":
+            d -= n
+        elif op == "D":
+            d += n
+        mx = max(mx, abs(d))
+    return mx
+
+
+def verify_scores(al, entries, pen) -> np.ndarray:
+    """Score-only banded sweep at each pair's certified band: entries are
+    (q, t, band_v); returns the in-band optimal scores.  No traceback
+    tensor, no walk — memory is O(B*W) state only, so one chunk suffices."""
+    out = np.zeros(len(entries), np.int64)
+    order = np.argsort([e[2] for e in entries], kind="stable")
+    i = 0
+    while i < len(order):
+        sel = order[i : i + 256]
+        i += len(sel)
+        band = max(int(entries[j][2]) for j in sel)
+        B = max(_np2(len(sel)), 8)
+        lq = _ru(max(entries[j][0].size for j in sel), 256)
+        lt = _ru(max(entries[j][1].size for j in sel), 256)
+        Q = np.full((B, lq), nw.QPAD, np.uint8)
+        T = np.full((B, lt), nw.TPAD, np.uint8)
+        qlens = np.zeros(B, np.int32)
+        tlens = np.zeros(B, np.int32)
+        for b, j in enumerate(sel):
+            qw, tw = entries[j][0], entries[j][1]
+            Q[b, : qw.size] = qw
+            T[b, : tw.size] = tw
+            qlens[b] = qw.size
+            tlens[b] = tw.size
+        tmax = _ru(int((qlens + tlens).max()) + 1, 512)
+        scores, _ = nw.nw_align_device(
+            Q, T, qlens, tlens,
+            mismatch=pen.mismatch,
+            o1=pen.gap1_open,
+            e1=pen.gap1_extend,
+            o2=pen.gap2_open if pen.two_piece else -1,
+            e2=pen.gap2_extend if pen.two_piece else -1,
+            band=min(band, max(lq, lt) + 1),
+            tmax=tmax,
+            with_traceback=False,
+        )
+        al.stats["cells_padded"] += B * (tmax + 2) * (band + 1)
+        out[sel] = np.asarray(scores)[: len(sel)]
+    return out

@@ -172,6 +172,25 @@ class RunnerConfig:
     band_tiling: str = "off"
     # cap on tiles per wide pair (wider jobs keep their own chunk)
     band_tiling_max_tiles: int = 4
+    # wide-pair route: 'anchored' (default) aligns jobs whose band exceeds
+    # wide_band_threshold piecewise — exact-match minimizer chain + exact
+    # DP only on the inter-anchor windows (align/anchored.py) — instead of
+    # brute-forcing a monster-band sweep (the band-1535 chunk was ~45% of
+    # bench wall for 8% of pairs, docs/ROUND3_NOTES.md §1); 'full' keeps
+    # the wide-band sweep.  Pairs with no usable chain always fall back to
+    # the full route.  Stitched results are exact per window; global
+    # optimality is DP-oracle-checked in tests (48/48 on the bench family)
+    # and certified at runtime when wide_verify is on.
+    wide_route: str = "anchored"
+    wide_band_threshold: int = 767
+    # anchored route only activates for long pairs (small pairs' full-band
+    # programs are already cheap, and small inversion tests pin the direct
+    # wide-band semantics)
+    wide_min_len: int = 2048
+    # verify every stitched score against a score-only banded sweep at the
+    # certified band (no traceback/walk); mismatches fall back to the full
+    # wide route, making anchored results certified-exact end to end
+    wide_verify: bool = False
 
 
 class _TiledChunk(list):
@@ -235,19 +254,56 @@ class WfaAligner:
             "band_sharded": 0,  # pairs routed through the lane-sharded kernel
             "tiled_chunks": 0,  # band-tiled merged dispatches
             "tiled_rows": 0,  # extra batch rows spent on wide-pair tiles
+            "anchored_pairs": 0,  # wide jobs aligned via the anchored route
+            "anchored_windows": 0,  # device-aligned windows across those jobs
+            "anchored_fallbacks": 0,  # wide jobs sent back to the full route
+            "wide_verified": 0,  # stitched scores certified by score-only sweep
             # host-side phase timers (seconds; overlap-aware only in that
             # collect time includes the device wait for the oldest chunk)
             "orient_s": 0.0,
             "dispatch_s": 0.0,
             "collect_s": 0.0,
+            "anchored_s": 0.0,
         }
         self._pallas_ok: bool | None = None
+        # per-(sequence, orientation) minimizer cache for the anchored wide
+        # route / sweepga backend (each sequence is indexed once, not once
+        # per pair — the FastGA model)
+        self.anchor_k = 15
+        self.anchor_w = 10
+        self._min_cache: dict[tuple[int, bool], tuple] = {}
+        # (pair_idx, rc) jobs already routed through the anchored wide path
+        # (a failed/suboptimal stitch must not loop back into it)
+        self._anchored_tried: set[tuple[int, bool]] = set()
         # (pair_idx, rc) jobs forced onto the anti-diagonal kernel (their
         # row-major gap list overflowed nw.GAP_MAX)
         self._v3_set: set[tuple[int, bool]] = set()
         # (pair_idx, rc) jobs forced onto the opcode emission (their walk
         # produced more than nw.RUN_MAX runs)
         self._runs_off_set: set[tuple[int, bool]] = set()
+
+    def _minimizers(self, idx: int, rc: bool):
+        from ..ops import anchors as anchors_mod
+
+        key = (idx, rc)
+        if key not in self._min_cache:
+            codes = self.rc_codes[idx] if rc else self.codes[idx]
+            self._min_cache[key] = anchors_mod.minimizers(
+                codes, self.anchor_k, self.anchor_w
+            )
+        return self._min_cache[key]
+
+    def _minimizers_sorted(self, idx: int, rc: bool):
+        """Value-sorted minimizer index (cached): the all-pairs anchor join
+        sorts each TARGET index once, not once per pair."""
+        from ..ops import anchors as anchors_mod
+
+        key = (idx, rc, "sorted")
+        if key not in self._min_cache:
+            self._min_cache[key] = anchors_mod.sort_minimizers(
+                self._minimizers(idx, rc)
+            )
+        return self._min_cache[key]
 
     # -- orientation ---------------------------------------------------------
 
@@ -572,10 +628,23 @@ class WfaAligner:
                     else:
                         local.append(job)
                 queue = local
+            # wide jobs divert to the anchored piecewise route: DP only
+            # where the pair actually diverges, instead of a monster-band
+            # serial program (align/anchored.py)
+            anchored_jobs: list = []
+            if self.cfg.wide_route == "anchored":
+                rest = []
+                for job in queue:
+                    if self._wants_anchored(job, pairs):
+                        anchored_jobs.append(job)
+                    else:
+                        rest.append(job)
+                queue = rest
             chunks = self._make_nw_chunks(queue, pairs)
             chunks = self._plan_band_tiling(chunks)
             queue = []
             retries_scored = []  # (job, banded_score)
+            a_fallbacks: list = []
             # pipeline: dispatch chunk k+1 (async device work) before the
             # host decode of chunk k
             inflight = None
@@ -591,6 +660,17 @@ class WfaAligner:
                     attempts.update(done)
                     retries_scored.extend(retries)
                 inflight = dispatched
+            if anchored_jobs:
+                # runs while the (already dispatched) narrow chunks compute:
+                # host chaining/stitching and the small window dispatches
+                # overlap the mega chunk's device time
+                t0 = time.time()
+                a_done, a_fallbacks, a_retries = self._align_anchored(
+                    anchored_jobs, pairs, pen
+                )
+                self.stats["anchored_s"] += time.time() - t0
+                attempts.update(a_done)
+                retries_scored.extend(a_retries)
             if inflight is not None:
                 t0 = time.time()
                 done, retries = self._collect_nw_chunk(*inflight, pairs)
@@ -598,6 +678,9 @@ class WfaAligner:
                 attempts.update(done)
                 retries_scored.extend(retries)
             queue = self._prune_orientation_losers(attempts, retries_scored)
+            # chainless wide jobs re-enter the full route unpruned (a
+            # missing chain says nothing about which orientation wins)
+            queue.extend(a_fallbacks)
 
         results: list[AlignmentResult] = []
         for p in range(len(pairs)):
@@ -641,6 +724,109 @@ class WfaAligner:
                 continue  # the other orientation already scores better
             out.append((p, rc, band, f32))
         return out
+
+    def _wants_anchored(self, job, pairs) -> bool:
+        """Route this job through the anchored piecewise path?  Wide band
+        (the job would form/join a monster-band chunk), long enough that
+        the full-length serial program actually hurts, short enough for
+        the single-shot machinery, default kernel stack, not tried before
+        (failed stitches must not loop)."""
+        p, rc, band, _f32 = job
+        if (p, rc) in self._anchored_tried:
+            return False
+        qi, tj = pairs[p]
+        qlen, tlen = self.codes[qi].size, self.codes[tj].size
+        return (
+            band > self.cfg.wide_band_threshold
+            and max(qlen, tlen) >= self.cfg.wide_min_len
+            and qlen + tlen <= self.cfg.long_pair_threshold
+            and self.cfg.device_traceback
+            and self.cfg.sweep != "rows"
+            and not self._use_pallas()
+        )
+
+    def _align_anchored(self, wide_jobs, pairs, pen):
+        """Anchored piecewise alignment of wide jobs (align/anchored.py).
+
+        Returns (done, fallback_jobs, retries_scored): ``done`` maps
+        (pair_idx, rc) to results (None = divergence-cap drop), fallbacks
+        are chainless jobs for the full wide route, retries are
+        verify-failed jobs re-queued at their certified band."""
+        from . import anchored
+
+        plans, fallbacks, window_jobs = [], [], []
+        for job in wide_jobs:
+            self._anchored_tried.add((job[0], job[1]))
+            plan = anchored.build_plan(self, job, pairs, pen, window_jobs)
+            if plan is None:
+                self.stats["anchored_fallbacks"] += 1
+                fallbacks.append(job)
+            else:
+                plans.append(plan)
+        witems = anchored.align_windows(self, window_jobs, pen)
+        self.stats["anchored_windows"] += len(window_jobs)
+
+        done: dict[tuple[int, bool], AlignmentResult | None] = {}
+        retries_scored = []
+        verify_entries = []  # (plan, items, stitched_score, band_v)
+        e_min, o_min = self._gap_mins()
+        for plan in plans:
+            items = anchored.stitch(plan, witems)
+            s = anchored.cigar_cost(items, pen)
+            qlen, tlen = plan.q.size, plan.t.size
+            nq = sum(n for n, op in items if op in "=XI")
+            nt = sum(n for n, op in items if op in "=XD")
+            if nq != qlen or nt != tlen:
+                raise RuntimeError(
+                    f"anchored stitch consumption mismatch: q {nq}/{qlen} "
+                    f"t {nt}/{tlen} (pair {pairs[plan.p]}, rc={plan.rc})"
+                )
+            if self.cfg.wide_verify:
+                diff = abs(qlen - tlen)
+                k_v = max(
+                    anchored.max_excursion(items),
+                    (s - 2 * o_min) // (2 * max(e_min, 1)) + diff // 2 + 2,
+                )
+                band_v = self._quantize_band(int(k_v), qlen, tlen)
+                verify_entries.append((plan, items, s, band_v))
+                continue
+            self._finish_anchored(plan, items, s, pairs, done)
+
+        if verify_entries:
+            scores_v = anchored.verify_scores(
+                self,
+                [(pl.q, pl.t, bv) for pl, _i, _s, bv in verify_entries],
+                pen,
+            )
+            for (plan, items, s, band_v), s_v in zip(verify_entries, scores_v):
+                s_v = int(s_v)
+                if s_v > s:
+                    raise RuntimeError(
+                        f"verify sweep beat its own band: {s_v} > {s} "
+                        f"(pair {pairs[plan.p]}, band {band_v})"
+                    )
+                if s_v == s:
+                    # the stitched alignment achieves the certified-optimal
+                    # score => it IS an optimal alignment
+                    self.stats["wide_verified"] += 1
+                    self._finish_anchored(plan, items, s, pairs, done)
+                else:
+                    # optimum is better than the stitch: re-run the full
+                    # wide route at band_v (already certified for s_v)
+                    retries_scored.append(
+                        ((plan.p, plan.rc, band_v, plan.f32), s_v)
+                    )
+        return done, fallbacks, retries_scored
+
+    def _finish_anchored(self, plan, items, score, pairs, done):
+        self.stats["anchored_pairs"] += 1
+        qi, tj = pairs[plan.p]
+        if score > self._pair_cap(plan.q.size, plan.t.size):
+            done[(plan.p, plan.rc)] = None  # exceeds the divergence cap
+        else:
+            done[(plan.p, plan.rc)] = AlignmentResult(
+                int(qi), int(tj), plan.rc, score, items
+            )
 
     def _needs_band_shard(self, job, pairs) -> bool:
         """True when this job ALONE would bust the per-dispatch traceback

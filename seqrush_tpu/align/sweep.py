@@ -156,19 +156,13 @@ class SweepAligner(WfaAligner):
         super().__init__(seqs, config)
         self.k = k
         self.w = w
+        # the per-(sequence, orientation) minimizer cache and _minimizers
+        # live on WfaAligner (shared with the anchored wide route); this
+        # backend's k/w parameterize them
+        self.anchor_k = k
+        self.anchor_w = w
         self.stats.setdefault("chains", 0)
         self.stats.setdefault("filtered_1to1", 0)
-        # per-(sequence, orientation) minimizer cache: the FastGA analog
-        # indexes each sequence ONCE, not once per pair (25 seqs = 50
-        # minimizer passes instead of 1,200 for the all-pairs workload)
-        self._min_cache: dict[tuple[int, bool], tuple] = {}
-
-    def _minimizers(self, idx: int, rc: bool):
-        key = (idx, rc)
-        if key not in self._min_cache:
-            codes = self.rc_codes[idx] if rc else self.codes[idx]
-            self._min_cache[key] = anchors_mod.minimizers(codes, self.k, self.w)
-        return self._min_cache[key]
 
     def align_pairs(self, pairs: np.ndarray) -> list[AlignmentResult]:
         t0 = time.time()
@@ -192,6 +186,7 @@ class SweepAligner(WfaAligner):
                 self._minimizers(int(qi), bool(is_rev[p])),
                 self._minimizers(int(tj), False),
                 max_freq=self.cfg.frequency,
+                t_sorted=self._minimizers_sorted(int(tj), False),
             )
             for chain in anchors_mod.chain_anchors_multi(a, self.k):
                 runs = anchors_mod.chain_to_runs(chain, self.k)

@@ -92,6 +92,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="restore a parent-array checkpoint and skip alignment entirely",
     )
     p.add_argument(
+        "--wide-route", default="anchored", choices=["anchored", "full"],
+        dest="wide_route",
+        help="divergent/wide-band pairs: 'anchored' = chain + piecewise "
+        "window DP (fast), 'full' = monster-band sweep",
+    )
+    p.add_argument(
+        "--wide-verify", action="store_true", dest="wide_verify",
+        help="certify every anchored stitch against a score-only sweep at "
+        "the certified band (falls back to the full route on mismatch)",
+    )
+    p.add_argument(
         "--memory-budget-bytes", type=int, default=None, dest="memory_budget_bytes",
         help="device memory per alignment dispatch; with --mesh-devices, a "
         "pair whose traceback alone exceeds this routes through the "

@@ -78,3 +78,10 @@ class Args:
     # (single source of truth — align/runner.py RunnerConfig.memory_budget_bytes)
     memory_budget_bytes: int | None = None
     max_chunk_pairs: int = 0  # cap pairs per chunk (0 = memory budget only)
+    # wide-pair route: 'anchored' (default) = exact-match chain + piecewise
+    # window DP for divergent pairs; 'full' = monster-band sweep
+    # (align/runner.py RunnerConfig.wide_route)
+    wide_route: str = "anchored"
+    # certify every anchored stitch against a score-only sweep at the
+    # certified band (exactness guarantee at ~45% of the wide-chunk cost)
+    wide_verify: bool = False

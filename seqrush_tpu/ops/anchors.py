@@ -71,30 +71,46 @@ def anchor_matches(
     )
 
 
+def sort_minimizers(
+    t_mins: tuple[np.ndarray, np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Value-sorted (values, positions) target index for
+    anchor_matches_from_minimizers — cache this per sequence so the
+    all-pairs loop sorts each target index once, not once per pair."""
+    tp, tv = t_mins
+    order_t = np.argsort(tv, kind="stable")
+    return tv[order_t], tp[order_t]
+
+
 def anchor_matches_from_minimizers(
     q_mins: tuple[np.ndarray, np.ndarray],
     t_mins: tuple[np.ndarray, np.ndarray],
     max_freq: int | None = None,
+    t_sorted: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> np.ndarray:
     """anchor_matches over precomputed (positions, values) minimizer sets —
-    callers indexing each sequence once (the FastGA model) use this."""
+    callers indexing each sequence once (the FastGA model) use this.
+    ``t_sorted`` (from sort_minimizers) skips the per-call target sort."""
     qp, qv = q_mins
     tp, tv = t_mins
     if qp.size == 0 or tp.size == 0:
         return np.zeros((0, 2), np.int64)
     # join on value
-    order_t = np.argsort(tv, kind="stable")
-    tv_s, tp_s = tv[order_t], tp[order_t]
+    if t_sorted is None:
+        t_sorted = sort_minimizers(t_mins)
+    tv_s, tp_s = t_sorted
     lo = np.searchsorted(tv_s, qv, side="left")
     hi = np.searchsorted(tv_s, qv, side="right")
     counts = hi - lo
     if max_freq is not None:
         counts = np.where(counts > max_freq, 0, counts)
-    if counts.sum() == 0:
+    total = int(counts.sum())
+    if total == 0:
         return np.zeros((0, 2), np.int64)
     qidx = np.repeat(np.arange(qp.size), counts)
-    # positions within each run
-    offs = np.concatenate([np.arange(c) for c in counts if c > 0])
+    # positions within each run: flat iota minus each run's start offset
+    starts = np.cumsum(counts) - counts
+    offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
     tidx = np.repeat(lo, counts) + offs
     return np.stack([qp[qidx], tp_s[tidx]], axis=1)
 
@@ -122,12 +138,7 @@ def chain_anchors(
     except (ImportError, OSError):  # toolchain absent — NOT a bug mask
         idx = None
     if idx is not None:
-        out = a[idx]
-        keep = [0]
-        for i in range(1, out.shape[0]):
-            if out[i, 0] > out[keep[-1], 0] and out[i, 1] > out[keep[-1], 1]:
-                keep.append(i)
-        return out[keep]
+        return _keep_increasing(a[idx])
     f = np.full(n, float(k))
     pred = np.full(n, -1, dtype=np.int64)
     for i in range(n):
@@ -157,7 +168,18 @@ def chain_anchors(
         end = int(pred[end])
     chain.reverse()
     out = a[chain]
-    # drop anchors overlapping their predecessor inconsistently
+    return _keep_increasing(out)
+
+
+def _keep_increasing(out: np.ndarray) -> np.ndarray:
+    """Drop anchors overlapping their predecessor inconsistently.  Chains
+    from the DP are already strictly increasing on both axes (pred edges
+    require qj < qi and tj < ti), so the common case is a vectorized no-op
+    check; the sequential filter only runs when a violation exists."""
+    if out.shape[0] <= 1 or (
+        (np.diff(out[:, 0]) > 0).all() and (np.diff(out[:, 1]) > 0).all()
+    ):
+        return out
     keep = [0]
     for i in range(1, out.shape[0]):
         if out[i, 0] > out[keep[-1], 0] and out[i, 1] > out[keep[-1], 1]:
@@ -215,7 +237,48 @@ def chain_to_runs(chain: np.ndarray, k: int) -> list[tuple[int, int, int]]:
     """Merge chained anchors into maximal exact-match runs
     (q_start, t_start, len).  Colinear overlapping anchors coalesce;
     different-diagonal overlaps (repeats) are trimmed so consecutive runs
-    never overlap on either sequence."""
+    never overlap on either sequence.
+
+    Vectorized for the strictly-increasing chains chain_anchors emits
+    (the sweepga backend's per-pair host hot spot); the sequential spec
+    (chain_to_runs_spec) handles arbitrary input and pins the semantics
+    (tests/test_sweep.py fuzz equivalence)."""
+    chain = np.asarray(chain)
+    n = chain.shape[0]
+    if n == 0:
+        return []
+    q = chain[:, 0].astype(np.int64)
+    t = chain[:, 1].astype(np.int64)
+    if n > 1 and not ((np.diff(q) > 0).all() and (np.diff(t) > 0).all()):
+        return chain_to_runs_spec(chain, k)
+    # coalescing groups: break at diagonal change or an on-diagonal gap.
+    # Within a group, end = last anchor + k; starts may later be trimmed,
+    # which never changes ends, so group-then-trim == the anchor-by-anchor
+    # spec.  Strict increase bounds every trim at < k (prev end = prev
+    # anchor + k and this anchor > prev anchor on both axes), so no run is
+    # ever fully shadowed.
+    diag = q - t
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = (diag[1:] != diag[:-1]) | (q[1:] > q[:-1] + k)
+    gidx = np.flatnonzero(brk)
+    q0 = q[gidx]
+    t0 = t[gidx]
+    last = np.append(gidx[1:], n) - 1
+    end_q = q[last] + k
+    end_t = t[last] + k
+    delta = np.zeros(gidx.size, dtype=np.int64)
+    if gidx.size > 1:
+        delta[1:] = np.maximum(
+            np.maximum(end_q[:-1] - q0[1:], end_t[:-1] - t0[1:]), 0
+        )
+    q0 = q0 + delta
+    t0 = t0 + delta
+    return list(zip(q0.tolist(), t0.tolist(), (end_q - q0).tolist()))
+
+
+def chain_to_runs_spec(chain: np.ndarray, k: int) -> list[tuple[int, int, int]]:
+    """Sequential reference semantics for chain_to_runs (any input)."""
     runs: list[list[int]] = []
     for qpos, tpos in chain:
         qpos, tpos = int(qpos), int(tpos)

@@ -199,6 +199,8 @@ class SeqRushTPU:
             max_chunk_pairs=args.max_chunk_pairs,
             threads=args.threads,
             frequency=args.frequency,
+            wide_route=args.wide_route,
+            wide_verify=args.wide_verify,
             **cfg_kw,
         )
         aligner = _AlignerCls(self.seqs, cfg)
