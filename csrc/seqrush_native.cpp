@@ -336,4 +336,106 @@ int64_t chain_anchors(const int64_t* qs, const int64_t* ts, int64_t n,
   return m;
 }
 
+// chain_to_runs (ops/anchors.py chain_to_runs_spec, bit-identical): merge
+// chained anchors into maximal exact-match runs; colinear overlaps
+// coalesce, cross-diagonal overlaps trim the later run's start.
+static void chain_to_runs_cpp(const int64_t* qs, const int64_t* ts,
+                              const int64_t* idx, int64_t m, int64_t k,
+                              std::vector<int64_t>& rq,
+                              std::vector<int64_t>& rt,
+                              std::vector<int64_t>& rl) {
+  rq.clear();
+  rt.clear();
+  rl.clear();
+  for (int64_t c = 0; c < m; ++c) {
+    int64_t qpos = qs[idx[c]], tpos = ts[idx[c]];
+    if (!rq.empty()) {
+      int64_t q0 = rq.back(), t0 = rt.back(), ln = rl.back();
+      if (qpos - q0 == tpos - t0 && qpos <= q0 + ln) {
+        int64_t ext = qpos + k - q0;
+        rl.back() = ln > ext ? ln : ext;
+        continue;
+      }
+      int64_t d1 = q0 + ln - qpos, d2 = t0 + ln - tpos;
+      int64_t delta = d1 > d2 ? d1 : d2;
+      if (delta < 0) delta = 0;
+      if (delta >= k) continue;  // fully shadowed
+      if (delta > 0) {
+        rq.push_back(qpos + delta);
+        rt.push_back(tpos + delta);
+        rl.push_back(k - delta);
+        continue;
+      }
+    }
+    rq.push_back(qpos);
+    rt.push_back(tpos);
+    rl.push_back(k);
+  }
+}
+
+// Batched multi-chain extraction + run merging over many pairs in ONE
+// call (the sweepga backend's whole stage-1 host loop; bit-identical to
+// ops/anchors.py chain_anchors_multi + chain_to_runs over each pair).
+// qs/ts: anchors of all pairs concatenated, each pair's block pre-sorted
+// by (q, t); offs[p]..offs[p+1] delimits pair p.  Emits maximal
+// exact-match runs per kept chain:
+//   runs_q/runs_t/runs_len (capacity >= total anchor count),
+//   chain_pair[c] = pair index, chain_off[c+1] = flat run offsets
+//   (chain_off[0] = 0).  Returns the number of chains.
+int64_t chain_pairs(const int64_t* qs, const int64_t* ts, const int64_t* offs,
+                    int64_t n_pairs, int64_t k, int64_t max_gap,
+                    int64_t max_skew, int64_t max_chains, int64_t min_matched,
+                    int64_t* runs_q, int64_t* runs_t, int64_t* runs_len,
+                    int64_t* chain_pair, int64_t* chain_off) {
+  int64_t n_chains = 0, run_pos = 0;
+  chain_off[0] = 0;
+  std::vector<int64_t> rq, rt, idx, crq, crt, crl;
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    int64_t n = offs[p + 1] - offs[p];
+    if (n <= 0) continue;
+    rq.assign(qs + offs[p], qs + offs[p + 1]);
+    rt.assign(ts + offs[p], ts + offs[p + 1]);
+    idx.resize((size_t)n);
+    int64_t pair_chains = 0;
+    int64_t rem = n;
+    while (rem > 0 && pair_chains < max_chains) {
+      int64_t m =
+          chain_anchors(rq.data(), rt.data(), rem, k, max_gap, max_skew,
+                        idx.data());
+      if (m == 0) break;
+      chain_to_runs_cpp(rq.data(), rt.data(), idx.data(), m, k, crq, crt, crl);
+      int64_t matched = 0;
+      for (int64_t r = 0; r < (int64_t)crl.size(); ++r) matched += crl[r];
+      if (matched < min_matched && pair_chains > 0) break;
+      chain_pair[n_chains] = p;
+      for (size_t r = 0; r < crq.size(); ++r) {
+        runs_q[run_pos] = crq[r];
+        runs_t[run_pos] = crt[r];
+        runs_len[run_pos] = crl[r];
+        ++run_pos;
+      }
+      chain_off[++n_chains] = run_pos;
+      ++pair_chains;
+      if (matched < min_matched) break;
+      // remove anchors inside the chain's q AND t span (repeat copies
+      // mapping elsewhere survive to seed secondary chains)
+      int64_t q0 = rq[(size_t)idx[0]], q1 = rq[(size_t)idx[m - 1]] + k;
+      int64_t t0 = rt[(size_t)idx[0]], t1 = rt[(size_t)idx[m - 1]] + k;
+      int64_t w = 0;
+      for (int64_t i = 0; i < rem; ++i) {
+        bool inside = rq[(size_t)i] >= q0 && rq[(size_t)i] < q1 &&
+                      rt[(size_t)i] >= t0 && rt[(size_t)i] < t1;
+        if (!inside) {
+          rq[(size_t)w] = rq[(size_t)i];
+          rt[(size_t)w] = rt[(size_t)i];
+          ++w;
+        }
+      }
+      if (w == rem) break;  // chain removed nothing: avoid an endless loop
+      rem = w;
+    }
+  }
+  return n_chains;
+}
+
 }  // extern "C"

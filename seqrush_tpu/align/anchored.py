@@ -50,6 +50,9 @@ SMALL_WINDOW = 256
 # minimum chained exact-match coverage (fraction of min(qlen, tlen));
 # below it the chain is too sparse to trust as a global guide
 MIN_COVERAGE = 0.05
+# run-token budget for window fetches (see align/sweep.py GAP_RUN_MAX:
+# tiny windows, slow d2h link); overflowing rows retry via opcodes
+WIN_RUN_MAX = 32
 
 
 @dataclass
@@ -101,29 +104,44 @@ def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
     jobs_start = len(window_jobs)
 
     def window(q0, q1, t0, t1):
-        dq, dt = q1 - q0, t1 - t0
+        # greedy exact extension: minimizer sampling (w) leaves up to ~w
+        # matching bases on each side of a divergence core, so most gaps
+        # are a long exact flank around one SNP/indel.  Committing the
+        # byte-verified flanks shrinks the core to host-resolvable size
+        # (the same trust class as the chain anchors themselves; the
+        # DP-oracle tests gate the stitched score either way).
+        pre, suf = _flank_match(q, t, q0, q1, t0, t1)
+        if pre:
+            plan.parts.append(("items", [(pre, "=")]))
+            q0 += pre
+            t0 += pre
+        dq, dt = q1 - q0 - suf, t1 - t0 - suf
         if dq == 0 and dt == 0:
-            return True
-        if dq == 0:
+            pass
+        elif dq == 0:
             plan.parts.append(("items", [(dt, "D")]))
-            return True
-        if dt == 0:
+        elif dt == 0:
             plan.parts.append(("items", [(dq, "I")]))
-            return True
-        qw, tw = q[q0:q1], t[t0:t1]
-        if dq == dt and dq * pen.mismatch <= gm:
-            # equal-length window where any gapped path costs >= the
-            # all-mismatch diagonal: provably all-diagonal, zero device work
-            plan.parts.append(("items", nw.resolve_matches([(dq, "M")], qw, tw)))
-            return True
-        mx = max(dq, dt)
-        if mx > SMALL_WINDOW:
-            # full-band window: check the traceback tensor fits the budget
-            tmax = _ru(dq + dt + 1, 256)
-            if 8 * (tmax + 2) * (mx + 2) > budget:
-                return False  # window too big to brute-force: full route
-        plan.parts.append(("win", len(window_jobs)))
-        window_jobs.append((qw, tw))
+        else:
+            qw, tw = q[q0 : q1 - suf], t[t0 : t1 - suf]
+            if dq == dt and int(np.count_nonzero(qw != tw)) * pen.mismatch <= gm:
+                # equal-length core whose ACTUAL mismatch cost <= the
+                # cheapest gapped path (>= one I-run + one D-run =
+                # 2*gap_min): provably all-diagonal, zero device work
+                plan.parts.append(
+                    ("items", nw.resolve_matches([(dq, "M")], qw, tw))
+                )
+            else:
+                mx = max(dq, dt)
+                if mx > SMALL_WINDOW:
+                    # full-band window: check the traceback fits the budget
+                    tmax = _ru(dq + dt + 1, 256)
+                    if 8 * (tmax + 2) * (mx + 2) > budget:
+                        return False  # too big to brute-force: full route
+                plan.parts.append(("win", len(window_jobs)))
+                window_jobs.append((qw, tw))
+        if suf:
+            plan.parts.append(("items", [(suf, "=")]))
         return True
 
     ok = window(0, runs[0][0], 0, runs[0][1])
@@ -139,6 +157,22 @@ def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
     return plan
 
 
+def _flank_match(q, t, q0, q1, t0, t1) -> tuple[int, int]:
+    """(prefix, suffix) exact-match lengths of the window q[q0:q1] vs
+    t[t0:t1], with prefix + suffix <= min window side (prefix wins ties)."""
+    m = min(q1 - q0, t1 - t0)
+    if m <= 0:
+        return 0, 0
+    neq = q[q0 : q0 + m] != t[t0 : t0 + m]
+    if not neq.any():
+        return m, 0
+    pre = int(np.argmax(neq))
+    m2 = m - pre
+    neq2 = q[q1 - m2 : q1] != t[t1 - m2 : t1]
+    suf = m2 if not neq2.any() else int(np.argmax(neq2[::-1]))
+    return pre, suf
+
+
 def _ru(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -148,61 +182,90 @@ def _np2(x: int) -> int:
 
 
 def align_windows(al, jobs, pen) -> list:
-    """Exact batched alignment of all window jobs.  Small windows start at
-    a narrow band and escalate by the band certificate; large windows run
-    at full band (unconditionally exact).  One dispatch per (band bucket,
-    escalation round); run-overflow rows retry via opcode emission."""
-    out = [None] * len(jobs)
-    if not jobs:
-        return out
-    pending = []
-    for j, (qw, tw) in enumerate(jobs):
-        mx = max(qw.size, tw.size)
-        if mx > SMALL_WINDOW:
-            band = mx + 1
-        else:
-            band = min(_ru(abs(qw.size - tw.size) + 65, 128) - 1, mx + 1)
-        pending.append((j, band))
+    """Exact batched alignment of all window jobs (dispatch + collect in
+    one call — see dispatch_windows/collect_windows for the split the
+    runner uses to overlap the mega chunk's host decode)."""
+    return collect_windows(al, jobs, dispatch_windows(al, jobs, pen), pen)
 
+
+def _plan_chunks(al, jobs, pending):
+    """Cut (job, band) entries into dispatch chunks: band-bucket
+    boundaries, trip-count jumps (a chunk's serial steps are its max
+    window's — tiny windows must not pad to a big window's trip count),
+    and the memory budget."""
+    pending = sorted(
+        pending, key=lambda e: (e[1], max(jobs[e[0]][0].size, jobs[e[0]][1].size))
+    )
+    chunks = []
+    i = 0
+    while i < len(pending):
+        chunk = [pending[i]]
+        band = pending[i][1]
+        j0 = pending[i][0]
+        tmax0 = max(_ru(jobs[j0][0].size + jobs[j0][1].size + 1, 256), 512)
+        i += 1
+        while i < len(pending):
+            j, bj = pending[i]
+            trial_band = max(band, bj)
+            qw, tw = jobs[j]
+            tmax = _ru(qw.size + tw.size + 1, 256)
+            B = _np2(len(chunk) + 1)
+            if (
+                trial_band > 2 * band + 128
+                or tmax > 2 * tmax0
+                or B * (tmax + 2) * (trial_band + 1)
+                > al.cfg.memory_budget_bytes
+            ):
+                break
+            chunk.append((j, bj))
+            band = trial_band
+            i += 1
+        chunks.append((chunk, band))
+    return chunks
+
+
+def _initial_window_band(qw, tw) -> int:
+    mx = max(qw.size, tw.size)
+    if mx > SMALL_WINDOW:
+        return mx + 1  # full band: exact in one pass
+    return min(_ru(abs(qw.size - tw.size) + 65, 128) - 1, mx + 1)
+
+
+def dispatch_windows(al, jobs, pen) -> list:
+    """Issue the first-round window dispatches (async device work);
+    returns dispatch descriptors for collect_windows."""
+    if not jobs:
+        return []
+    pending = [
+        (j, _initial_window_band(qw, tw)) for j, (qw, tw) in enumerate(jobs)
+    ]
+    return [
+        _dispatch_window_chunk(al, jobs, chunk, band, pen)
+        for chunk, band in _plan_chunks(al, jobs, pending)
+    ]
+
+
+def collect_windows(al, jobs, dispatched, pen) -> list:
+    """Collect dispatched window chunks; escalation rounds (band
+    certificate failures) re-dispatch synchronously — rare.  Returns the
+    per-job CIGAR item lists."""
+    out = [None] * len(jobs)
     rounds = 0
-    while pending:
+    while dispatched:
         rounds += 1
         if rounds > 12:  # certificate escalation terminates at full band
             raise RuntimeError("window escalation did not converge")
-        pending.sort(key=lambda e: (e[1], max(jobs[e[0]][0].size, jobs[e[0]][1].size)))
         nxt = []
-        # cut chunks at band-bucket boundaries, trip-count jumps (a chunk's
-        # serial steps are its max window's — tiny windows must not pad to a
-        # big window's trip count), and the memory budget
-        i = 0
-        while i < len(pending):
-            chunk = [pending[i]]
-            band = pending[i][1]
-            j0 = pending[i][0]
-            tmax0 = max(_ru(jobs[j0][0].size + jobs[j0][1].size + 1, 256), 512)
-            i += 1
-            while i < len(pending):
-                j, bj = pending[i]
-                trial_band = max(band, bj)
-                qw, tw = jobs[j]
-                tmax = _ru(qw.size + tw.size + 1, 256)
-                B = _np2(len(chunk) + 1)
-                if (
-                    trial_band > 2 * band + 128
-                    or tmax > 2 * tmax0
-                    or B * (tmax + 2) * (trial_band + 1)
-                    > al.cfg.memory_budget_bytes
-                ):
-                    break
-                chunk.append((j, bj))
-                band = trial_band
-                i += 1
-            _align_window_chunk(al, jobs, chunk, band, pen, out, nxt)
-        pending = nxt
+        for disp in dispatched:
+            _collect_window_chunk(al, jobs, disp, pen, out, nxt)
+        dispatched = [
+            _dispatch_window_chunk(al, jobs, chunk, band, pen)
+            for chunk, band in (_plan_chunks(al, jobs, nxt) if nxt else [])
+        ]
     return out
 
 
-def _align_window_chunk(al, jobs, chunk, band, pen, out, nxt):
+def _dispatch_window_chunk(al, jobs, chunk, band, pen):
     B = max(_np2(len(chunk)), 8)
     lq = _ru(max(jobs[j][0].size for j, _b in chunk), 128)
     lt = _ru(max(jobs[j][1].size for j, _b in chunk), 128)
@@ -231,17 +294,32 @@ def _align_window_chunk(al, jobs, chunk, band, pen, out, nxt):
     use_runs = tmax + 4 < (1 << 15) and al.cfg.emit != "ops"
     if use_runs:
         scores, tokens, counts = nw.nw_align_with_runs(
-            Q, T, qlens, tlens, run_max=nw.RUN_MAX,
+            Q, T, qlens, tlens, run_max=WIN_RUN_MAX,
             unroll=al.cfg.unroll, tb_unroll=al.cfg.tb_unroll, **kw
         )
-        tokens = np.asarray(tokens)
-        counts = np.asarray(counts)
+        payload = (tokens, counts)
     else:
         scores, opcodes = nw.nw_align_with_opcodes(
             Q, T, qlens, tlens, unroll=al.cfg.unroll,
             tb_unroll=al.cfg.tb_unroll, **kw
         )
-        packed = np.asarray(opcodes)
+        payload = (opcodes,)
+    for a in (scores, *payload):
+        fn = getattr(a, "copy_to_host_async", None)
+        if fn is not None:
+            try:
+                fn()
+            except Exception:
+                pass
+    return (chunk, band, kw, use_runs, scores, payload, Q, T, qlens, tlens)
+
+
+def _collect_window_chunk(al, jobs, disp, pen, out, nxt):
+    chunk, band, kw, use_runs, scores, payload, Q, T, qlens, tlens = disp
+    if use_runs:
+        tokens, counts = (np.asarray(a) for a in payload)
+    else:
+        packed = np.asarray(payload[0])
         ops = nw.unpack_opcodes(packed, packed.shape[1] * 4)
     scores = np.asarray(scores)
 
@@ -258,7 +336,7 @@ def _align_window_chunk(al, jobs, chunk, band, pen, out, nxt):
             nxt.append((j, k))
             continue
         al.stats["cells_true"] += (qw.size + tw.size + 1) * (band + 1)
-        if use_runs and counts[b] > nw.RUN_MAX:
+        if use_runs and counts[b] > WIN_RUN_MAX:
             al.stats["run_overflows"] += 1
             overflow.append((b, j))
             continue

@@ -660,23 +660,29 @@ class WfaAligner:
                     attempts.update(done)
                     retries_scored.extend(retries)
                 inflight = dispatched
+            a_state = None
             if anchored_jobs:
-                # runs while the (already dispatched) narrow chunks compute:
-                # host chaining/stitching and the small window dispatches
-                # overlap the mega chunk's device time
+                # host chaining + window dispatches run while the (already
+                # dispatched) narrow chunks compute; the window programs
+                # queue behind them on the device
                 t0 = time.time()
-                a_done, a_fallbacks, a_retries = self._align_anchored(
-                    anchored_jobs, pairs, pen
-                )
+                a_state = self._align_anchored_start(anchored_jobs, pairs, pen)
                 self.stats["anchored_s"] += time.time() - t0
-                attempts.update(a_done)
-                retries_scored.extend(a_retries)
             if inflight is not None:
+                # mega-chunk host decode overlaps the window device time
                 t0 = time.time()
                 done, retries = self._collect_nw_chunk(*inflight, pairs)
                 self.stats["collect_s"] += time.time() - t0
                 attempts.update(done)
                 retries_scored.extend(retries)
+            if a_state is not None:
+                t0 = time.time()
+                a_done, a_fallbacks, a_retries = self._align_anchored_finish(
+                    a_state, pairs, pen
+                )
+                self.stats["anchored_s"] += time.time() - t0
+                attempts.update(a_done)
+                retries_scored.extend(a_retries)
             queue = self._prune_orientation_losers(attempts, retries_scored)
             # chainless wide jobs re-enter the full route unpruned (a
             # missing chain says nothing about which orientation wins)
@@ -745,13 +751,12 @@ class WfaAligner:
             and not self._use_pallas()
         )
 
-    def _align_anchored(self, wide_jobs, pairs, pen):
-        """Anchored piecewise alignment of wide jobs (align/anchored.py).
-
-        Returns (done, fallback_jobs, retries_scored): ``done`` maps
-        (pair_idx, rc) to results (None = divergence-cap drop), fallbacks
-        are chainless jobs for the full wide route, retries are
-        verify-failed jobs re-queued at their certified band."""
+    def _align_anchored_start(self, wide_jobs, pairs, pen):
+        """Phase 1 of the anchored route: build plans (host chaining) and
+        issue the window dispatches (async device work, queued behind the
+        already-dispatched narrow chunks).  The mega chunk's host decode
+        then overlaps the window programs' device time; _align_anchored_
+        finish collects and stitches."""
         from . import anchored
 
         plans, fallbacks, window_jobs = [], [], []
@@ -763,8 +768,21 @@ class WfaAligner:
                 fallbacks.append(job)
             else:
                 plans.append(plan)
-        witems = anchored.align_windows(self, window_jobs, pen)
+        dispatched = anchored.dispatch_windows(self, window_jobs, pen)
         self.stats["anchored_windows"] += len(window_jobs)
+        return plans, fallbacks, window_jobs, dispatched
+
+    def _align_anchored_finish(self, state, pairs, pen):
+        """Phase 2: collect windows, stitch, (optionally) verify.
+
+        Returns (done, fallback_jobs, retries_scored): ``done`` maps
+        (pair_idx, rc) to results (None = divergence-cap drop), fallbacks
+        are chainless jobs for the full wide route, retries are
+        verify-failed jobs re-queued at their certified band."""
+        from . import anchored
+
+        plans, fallbacks, window_jobs, dispatched = state
+        witems = anchored.collect_windows(self, window_jobs, dispatched, pen)
 
         done: dict[tuple[int, bool], AlignmentResult | None] = {}
         retries_scored = []

@@ -43,6 +43,11 @@ from .runner import AlignmentResult, RunnerConfig, WfaAligner, _next_pow2, _roun
 
 MIN_BLOCK_LENGTH = 100  # sweepga FilterConfig.min_block_length
 OVERLAP_THRESHOLD = 0.95  # sweepga FilterConfig.overlap_threshold
+# run-token budget for gap-fill fetches: windows are tens of bp with a
+# handful of runs, and the tunnel's d2h link is slow (~11 MB/s), so the
+# default RUN_MAX=128 token rows would cost ~4 MB per 8k-window chunk.
+# Overflowing rows (rare) retry via the opcode emission.
+GAP_RUN_MAX = 24
 
 
 @dataclass
@@ -178,22 +183,66 @@ class SweepAligner(WfaAligner):
             sc.gap2_extend if sc.has_two_piece else None,
         )
 
-        # stage 1: candidate chains per pair (host; vectorized numpy)
+        # stage 1: candidate chains per pair — anchor joins in numpy, then
+        # chaining + run merging for ALL pairs in ONE batched C++ call
+        # (chain_pairs_native, bit-identical to the python path below)
         mappings: list[_Mapping] = []
+        anchors_per_pair = []
         for p, (qi, tj) in enumerate(pairs):
-            q = self.rc_codes[qi] if is_rev[p] else self.codes[qi]
-            a = anchors_mod.anchor_matches_from_minimizers(
-                self._minimizers(int(qi), bool(is_rev[p])),
-                self._minimizers(int(tj), False),
-                max_freq=self.cfg.frequency,
-                t_sorted=self._minimizers_sorted(int(tj), False),
+            anchors_per_pair.append(
+                anchors_mod.anchor_matches_from_minimizers(
+                    self._minimizers(int(qi), bool(is_rev[p])),
+                    self._minimizers(int(tj), False),
+                    max_freq=self.cfg.frequency,
+                    t_sorted=self._minimizers_sorted(int(tj), False),
+                )
             )
-            for chain in anchors_mod.chain_anchors_multi(a, self.k):
-                runs = anchors_mod.chain_to_runs(chain, self.k)
+        native_out = None
+        try:
+            from ..native import chain_pairs_native
+
+            offs = np.zeros(len(pairs) + 1, np.int64)
+            for p, a in enumerate(anchors_per_pair):
+                offs[p + 1] = offs[p] + a.shape[0]
+            if offs[-1]:
+                flat = np.concatenate(
+                    [a for a in anchors_per_pair if a.shape[0]], axis=0
+                )
+                # per-pair (q, t) sort in one global lexsort
+                pid = np.repeat(
+                    np.arange(len(pairs), dtype=np.int64), np.diff(offs)
+                )
+                order = np.lexsort((flat[:, 1], flat[:, 0], pid))
+                flat = flat[order]
+            else:
+                flat = np.zeros((0, 2), np.int64)
+            native_out = chain_pairs_native(
+                flat[:, 0], flat[:, 1], offs, self.k,
+                max_gap=5000, max_skew=2000, max_chains=16, min_matched=50,
+            )
+        except (ImportError, OSError):  # toolchain absent — NOT a bug mask
+            native_out = None
+        if native_out is not None:
+            chain_pair, chain_off, runs_q, runs_t, runs_len = native_out
+            rq_l, rt_l, rl_l = runs_q.tolist(), runs_t.tolist(), runs_len.tolist()
+            co = chain_off.tolist()
+            for c, p in enumerate(chain_pair.tolist()):
+                runs = list(zip(rq_l[co[c]:co[c+1]], rt_l[co[c]:co[c+1]], rl_l[co[c]:co[c+1]]))
                 if runs:
+                    qi, tj = pairs[p]
+                    q = self.rc_codes[qi] if is_rev[p] else self.codes[qi]
                     mappings.append(
-                        _Mapping(p, int(qi), int(tj), bool(is_rev[p]), runs, q.size)
+                        _Mapping(int(p), int(qi), int(tj), bool(is_rev[p]), runs, q.size)
                     )
+        else:
+            for p, (qi, tj) in enumerate(pairs):
+                q = self.rc_codes[qi] if is_rev[p] else self.codes[qi]
+                for chain in anchors_mod.chain_anchors_multi(anchors_per_pair[p], self.k):
+                    runs = anchors_mod.chain_to_runs(chain, self.k)
+                    if runs:
+                        mappings.append(
+                            _Mapping(p, int(qi), int(tj), bool(is_rev[p]), runs, q.size)
+                        )
         self.stats["chains"] += len(mappings)
 
         # stage 2: 1:1 plane-sweep filter (the sweepga PafFilter analog)
@@ -254,28 +303,75 @@ class SweepAligner(WfaAligner):
         RUN_MAX retry via the opcode emission."""
         gap_cigars: dict[tuple[int, int], list[tuple[int, str]]] = {}
         gap_jobs = []  # (mapping_idx, gap_idx, q_window, t_window)
-        # equal-length windows of n bases where n*mismatch <= 2*min gap
+        # equal-length windows whose ACTUAL mismatch cost is <= 2*min gap
         # cost are provably all-diagonal (any path leaving the diagonal
         # needs an I-run AND a D-run) — SNP gaps, the vast majority on
-        # near-identical inputs, resolve directly with zero device work
+        # near-identical inputs, resolve with zero device work, batched:
+        # one flat base comparison + one RLE across every fast window
+        # (per-window resolve_matches calls were the backend's host
+        # hot spot at ~30k windows per all-pairs run)
         gap_min = pen.gap1_open + pen.gap1_extend
         if pen.two_piece:
             gap_min = min(gap_min, pen.gap2_open + pen.gap2_extend)
+        # collect every equal-length gap's bases flat (one concatenate),
+        # count mismatches per window in one reduceat, then split fast
+        # (all-diagonal) windows from device jobs
+        eq_keys: list[tuple[int, int]] = []
+        eq_q: list[np.ndarray] = []
+        eq_t: list[np.ndarray] = []
         for mi, m in enumerate(survivors):
             q = self.rc_codes[m.qi] if m.is_rev else self.codes[m.qi]
             t = self.codes[m.tj]
-            for g, ((q0, t0_, n0), (q1, t1_, _)) in enumerate(
-                zip(m.runs[:-1], m.runs[1:])
-            ):
-                gq0, gt0 = q0 + n0, t0_ + n0
-                if q1 > gq0 or t1_ > gt0:
-                    qw, tw = q[gq0:q1], t[gt0:t1_]
-                    if qw.size == tw.size and qw.size * pen.mismatch <= 2 * gap_min:
-                        gap_cigars[(mi, g)] = nw.resolve_matches(
-                            [(qw.size, "M")], qw, tw
-                        )
-                    else:
-                        gap_jobs.append((mi, g, qw, tw))
+            ra = np.asarray(m.runs, dtype=np.int64)
+            gq0 = ra[:-1, 0] + ra[:-1, 2]
+            gt0 = ra[:-1, 1] + ra[:-1, 2]
+            dq = ra[1:, 0] - gq0
+            dt = ra[1:, 1] - gt0
+            for g in np.flatnonzero((dq > 0) | (dt > 0)).tolist():
+                a, b = int(gq0[g]), int(gt0[g])
+                if dq[g] == dt[g]:
+                    eq_keys.append((mi, g))
+                    eq_q.append(q[a : a + int(dq[g])])
+                    eq_t.append(t[b : b + int(dt[g])])
+                else:
+                    gap_jobs.append(
+                        (mi, g, q[a : a + int(dq[g])], t[b : b + int(dt[g])])
+                    )
+        fast_keys: list[tuple[int, int]] = []
+        fast_q: list[np.ndarray] = []
+        fast_t: list[np.ndarray] = []
+        if eq_keys:
+            wl = np.array([a.size for a in eq_q], dtype=np.int64)
+            flat_neq = (np.concatenate(eq_q) != np.concatenate(eq_t))
+            nmm = np.add.reduceat(flat_neq, np.cumsum(wl) - wl)
+            is_fast = (nmm * pen.mismatch <= 2 * gap_min).tolist()
+            for w, key in enumerate(eq_keys):
+                if is_fast[w]:
+                    fast_keys.append(key)
+                    fast_q.append(eq_q[w])
+                    fast_t.append(eq_t[w])
+                else:
+                    gap_jobs.append((key[0], key[1], eq_q[w], eq_t[w]))
+        if fast_keys:
+            wlens = np.array([a.size for a in fast_q], dtype=np.int64)
+            ends = np.cumsum(wlens)
+            total = int(ends[-1])
+            neq = np.concatenate(fast_q) != np.concatenate(fast_t)
+            change = np.empty(total, dtype=bool)
+            change[0] = True
+            change[1:] = neq[1:] != neq[:-1]
+            change[ends[:-1]] = True  # segment break at every window start
+            seg_starts = np.flatnonzero(change)
+            seg_lens = np.diff(np.append(seg_starts, total)).tolist()
+            seg_x = neq[seg_starts].tolist()
+            # first segment index of each window
+            seg_bound = np.searchsorted(seg_starts, ends - wlens).tolist()
+            seg_bound.append(len(seg_lens))
+            for w, key in enumerate(fast_keys):
+                gap_cigars[key] = [
+                    (seg_lens[s], "X" if seg_x[s] else "=")
+                    for s in range(seg_bound[w], seg_bound[w + 1])
+                ]
         if not gap_jobs:
             return gap_cigars
         # chunk the remaining (indel-bearing) windows: sorted by size so
@@ -320,15 +416,15 @@ class SweepAligner(WfaAligner):
         overflow_rows: list[int] = []
         if use_runs:
             _scores, tokens, counts = nw.nw_align_with_runs(
-                Q, T, qlens, tlens, run_max=nw.RUN_MAX, **kw
+                Q, T, qlens, tlens, run_max=GAP_RUN_MAX, **kw
             )
             tokens = np.asarray(tokens)
             counts = np.asarray(counts)
             ok_rows = [
-                b for b in range(len(gap_jobs)) if counts[b] <= nw.RUN_MAX
+                b for b in range(len(gap_jobs)) if counts[b] <= GAP_RUN_MAX
             ]
             overflow_rows = [
-                b for b in range(len(gap_jobs)) if counts[b] > nw.RUN_MAX
+                b for b in range(len(gap_jobs)) if counts[b] > GAP_RUN_MAX
             ]
             if ok_rows:
                 items_all = nw.decode_runs_batch(

@@ -119,6 +119,13 @@ def get_lib():
             c_i64p,
         ]
         lib.chain_anchors.restype = ctypes.c_int64
+        lib.chain_pairs.argtypes = [
+            c_i64p, c_i64p, c_i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            c_i64p, c_i64p, c_i64p, c_i64p, c_i64p,
+        ]
+        lib.chain_pairs.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -292,3 +299,43 @@ def chain_anchors_native(
     if m < 0:
         return None
     return out[:m]
+
+
+def chain_pairs_native(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    offs: np.ndarray,
+    k: int,
+    max_gap: int,
+    max_skew: int,
+    max_chains: int,
+    min_matched: int,
+):
+    """Batched multi-chain extraction + run merging for all pairs in one
+    C++ call (bit-identical to ops/anchors.py chain_anchors_multi +
+    chain_to_runs per pair).  qs/ts are all pairs' anchors concatenated,
+    each pair's block sorted by (q, t); offs [P+1] delimits pairs.
+    Returns (chain_pair [C], chain_off [C+1], runs_q, runs_t, runs_len)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(qs.size)
+    n_pairs = int(offs.size) - 1
+    qs = np.ascontiguousarray(qs, dtype=np.int64)
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    runs_q = np.zeros(max(n, 1), dtype=np.int64)
+    runs_t = np.zeros(max(n, 1), dtype=np.int64)
+    runs_len = np.zeros(max(n, 1), dtype=np.int64)
+    cap_chains = max(n_pairs * max_chains, 1)
+    chain_pair = np.zeros(cap_chains, dtype=np.int64)
+    chain_off = np.zeros(cap_chains + 1, dtype=np.int64)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    c = lib.chain_pairs(
+        p(qs), p(ts), p(offs), n_pairs, k, max_gap, max_skew,
+        max_chains, min_matched,
+        p(runs_q), p(runs_t), p(runs_len), p(chain_pair), p(chain_off),
+    )
+    nr = int(chain_off[c])
+    return chain_pair[:c], chain_off[: c + 1], runs_q[:nr], runs_t[:nr], runs_len[:nr]

@@ -1562,26 +1562,52 @@ def decode_runs_batch(
         seg_mrun = np.searchsorted(ends, seg_starts, side="right")
         seg_bound = np.searchsorted(seg_mrun, np.arange(n_mruns + 1))
 
+    # final assembly: plain-python loop over pre-extracted lists (tolist()
+    # beats repeated numpy scalar indexing ~5x — this loop is the sweepga
+    # backend's and the anchored route's host hot spot at thousands of
+    # tiny windows per batch)
+    syms_l = syms.tolist()
+    lens_l = lens.tolist()
+    gmap_l = gmap.tolist()
+    cnt_l = np.minimum(counts, R).tolist()
+    seg_bound_l = seg_bound.tolist()
+    seg_lens_l = seg_lens.tolist() if seg_lens is not None else []
+    seg_eq_l = seg_eq.tolist() if seg_eq is not None else []
     out: list[list[tuple[int, str]]] = []
     for b in range(B):
         items: list[tuple[int, str]] = []
-
-        def push(n, op):
-            if items and items[-1][1] == op:
-                items[-1] = (items[-1][0] + n, op)
-            else:
-                items.append((n, op))
-
-        for r in np.flatnonzero(valid[b])[::-1]:  # reverse walk = fwd order
-            s = syms[b, r]
+        append = items.append
+        sb = syms_l[b]
+        lb = lens_l[b]
+        gb = gmap_l[b]
+        last_n = 0
+        last_op = ""
+        for r in range(cnt_l[b] - 1, -1, -1):  # reverse walk = fwd order
+            n = lb[r]
+            if n <= 0:
+                continue
+            s = sb[r]
             if s == OP_M:
-                g = gmap[b, r]
-                for si in range(seg_bound[g], seg_bound[g + 1]):
-                    push(int(seg_lens[si]), "=" if seg_eq[si] else "X")
-            elif s == OP_I:
-                push(int(lens[b, r]), "I")
+                g = gb[r]
+                for si in range(seg_bound_l[g], seg_bound_l[g + 1]):
+                    op = "=" if seg_eq_l[si] else "X"
+                    nn = seg_lens_l[si]
+                    if op == last_op:
+                        last_n += nn
+                    else:
+                        if last_n:
+                            append((last_n, last_op))
+                        last_n, last_op = nn, op
             else:
-                push(int(lens[b, r]), "D")
+                op = "I" if s == OP_I else "D"
+                if op == last_op:
+                    last_n += n
+                else:
+                    if last_n:
+                        append((last_n, last_op))
+                    last_n, last_op = n, op
+        if last_n:
+            append((last_n, last_op))
         out.append(items)
     return out
 
