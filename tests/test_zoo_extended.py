@@ -1,0 +1,81 @@
+"""Extended validation corpus (VERDICT r3 next #4).
+
+The reference claims 28/28 HLA-zoo genes ODGI-validated
+(/root/reference/CLAUDE.md:51-55); its zoo data is an empty submodule, so
+validation here runs on synthetic genes at matched-and-beyond statistics:
+the `extended` profile spans 1-30 kb, 1-10% divergence, indels to 300 bp,
+inversion- AND tandem-duplication-bearing haplotypes
+(tools/validate_zoo.py synth_gene_extended).  CI validates a fixed-seed
+subset end to end (golden gate + structural verify + RMSE sanity); the
+full 20-gene sweep is the tool run documented in docs/TESTING.md.  A
+100 kb+ pair additionally drives the segmented long-pair kernel
+(nw_align_long) through the pipeline in CI.
+"""
+
+import numpy as np
+import pytest
+
+from seqrush_tpu.config import Args
+from seqrush_tpu.pipeline import SeqRushTPU
+from seqrush_tpu.sequences import make_sequence_set
+from seqrush_tpu.tools.validate_zoo import synth_gene_extended, validate_gene
+
+
+def _small_extended_genes(n=6, seed=77, max_bp=9000):
+    """Fixed-seed extended-profile genes small enough for CPU CI: keep
+    drawing until n genes under max_bp are found (the profile's length
+    distribution is log-uniform to 30 kb; CI skips the giants)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    i = 0
+    while len(out) < n and i < 200:
+        fam = synth_gene_extended(i, rng)
+        i += 1
+        if len(fam[0][1]) <= max_bp:
+            out.append(fam)
+    return out
+
+
+@pytest.mark.parametrize("gi", range(4))
+def test_extended_gene_validates(gi, tmp_path):
+    fam = _small_extended_genes()[gi]
+    r = validate_gene(fam, f"x{gi}", str(tmp_path))
+    assert r["pass"], r
+    # layout sanity (not the canonical RMSE gate — that stays on the
+    # fixed 6-gene zoo): an extended gene must stay within the same order
+    # of magnitude as the reference's own 83.23 bp on real HLA
+    assert r["rmse_bp"] < 250, r
+
+
+def test_extended_profile_has_structural_variants():
+    """The generator actually produces inversions and duplications (the
+    spread the compact profile lacks)."""
+    rng = np.random.default_rng(3)
+    lens, n_haps = [], []
+    for i in range(20):
+        fam = synth_gene_extended(i, rng)
+        lens.append(len(fam[0][1]))
+        n_haps.append(len(fam))
+        # duplications make some haplotypes LONGER than base + indel slack
+    assert min(lens) < 3000 and max(lens) > 15000, lens
+    assert min(n_haps) >= 4
+
+
+def test_long_pair_routes_segmented_and_validates(tmp_path):
+    """A 110 kb pair (55 kb + 55 kb > long_pair_threshold) must route
+    through the segmented kernel (bounded per-segment memory) and still
+    pass the golden gate end to end."""
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=55_000)]
+    s = bytearray(base.tobytes())
+    for pos in rng.integers(0, len(s), size=55):  # 0.1% SNPs
+        s[pos] = bases[rng.integers(0, 4)]
+    del s[30_000:30_020]
+    seqs = make_sequence_set([("long0", base.tobytes()), ("long1", bytes(s))])
+    out = str(tmp_path / "long.gfa")
+    sr = SeqRushTPU(seqs, Args(output=out, no_sort=True))
+    sr.align_and_unite()
+    g = sr.write_gfa()  # hard-fails unless both paths reconstruct
+    assert sr.stats["aligner"]["long_pairs"] >= 1, sr.stats["aligner"]
+    assert g.comprehensive_verify() == []
