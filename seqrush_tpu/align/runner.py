@@ -566,6 +566,10 @@ class WfaAligner:
         return _round_up(n, 64)
 
     def _align_pairs_nw(self, pairs, pen, forced_rev=None) -> list[AlignmentResult]:
+        # per-call loop control: a failed/suboptimal stitch must not
+        # re-enter the anchored route within THIS call, but a fresh call
+        # (e.g. the bench's steady-state passes) starts clean
+        self._anchored_tried = set()
         if forced_rev is not None:
             # forced orientation: no probe stage; the sketch still sizes the
             # initial band, using the FORCED orientation's divergence
