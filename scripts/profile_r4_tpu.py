@@ -66,9 +66,9 @@ def main() -> int:
 
     aligners = dict(
         [
-            mk("anchored"),
+            mk("anchored"),  # hybrid: host DP small windows, device big
             mk("full", wide_route="full"),
-            mk("anch_u8", unroll_small=8, tb_unroll_small=8),
+            mk("anch_hostall", wide_host_window_cells=1 << 23),  # all-host
             mk("anch_verify", wide_verify=True),
         ]
     )
@@ -89,8 +89,8 @@ def main() -> int:
 
     # warm compiles, priority order (each may pay fresh tunnel compiles)
     results = {}
-    for name in ("anchored", "full", "anch_u8", "anch_verify"):
-        if name in ("anch_u8", "anch_verify") and not left(1200):
+    for name in ("anchored", "full", "anch_hostall", "anch_verify"):
+        if name in ("anch_hostall", "anch_verify") and not left(1200):
             print(f"[r4] skip warm {name} (budget)", file=sys.stderr)
             aligners.pop(name)
             continue
@@ -100,7 +100,7 @@ def main() -> int:
               f"{time.time()-t0:.1f}s", file=sys.stderr)
 
     # interleaved measurement: 3 rounds of every warm config
-    seq = [n for n in ("anchored", "full", "anch_u8", "anch_verify") if n in aligners]
+    seq = [n for n in ("anchored", "full", "anch_hostall", "anch_verify") if n in aligners]
     for rep in range(3):
         if rep and not left(1700):
             break
@@ -114,6 +114,7 @@ def main() -> int:
                     "pairs_per_s": round(n / dt, 1),
                     "anchored_pairs": al.stats.get("anchored_pairs", 0),
                     "windows": al.stats.get("anchored_windows", 0),
+                    "host_windows": al.stats.get("host_windows", 0),
                     "anchored_s": round(al.stats.get("anchored_s", 0.0), 4),
                     "collect_s": round(al.stats.get("collect_s", 0.0), 4),
                     "orient_s": round(al.stats.get("orient_s", 0.0), 4),

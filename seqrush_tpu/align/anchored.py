@@ -99,7 +99,6 @@ def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
         return None
 
     plan = WidePlan(p, rc, band0, f32, q, t)
-    gm = 2 * _gap_min(pen)
     budget = al.cfg.memory_budget_bytes
     jobs_start = len(window_jobs)
 
@@ -123,23 +122,18 @@ def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
         elif dt == 0:
             plan.parts.append(("items", [(dq, "I")]))
         else:
-            qw, tw = q[q0 : q1 - suf], t[t0 : t1 - suf]
-            if dq == dt and int(np.count_nonzero(qw != tw)) * pen.mismatch <= gm:
-                # equal-length core whose ACTUAL mismatch cost <= the
-                # cheapest gapped path (>= one I-run + one D-run =
-                # 2*gap_min): provably all-diagonal, zero device work
-                plan.parts.append(
-                    ("items", nw.resolve_matches([(dq, "M")], qw, tw))
-                )
-            else:
-                mx = max(dq, dt)
-                if mx > SMALL_WINDOW:
-                    # full-band window: check the traceback fits the budget
-                    tmax = _ru(dq + dt + 1, 256)
-                    if 8 * (tmax + 2) * (mx + 2) > budget:
-                        return False  # too big to brute-force: full route
-                plan.parts.append(("win", len(window_jobs)))
-                window_jobs.append((qw, tw))
+            # divergence core -> window job: tiny cores go to the batched
+            # host C++ DP (which tie-prefers the diagonal, so provably
+            # all-diagonal SNP cores come back identical to the old host
+            # fast path), larger ones to device window chunks
+            mx = max(dq, dt)
+            if mx > SMALL_WINDOW:
+                # full-band window: check the traceback fits the budget
+                tmax = _ru(dq + dt + 1, 256)
+                if 8 * (tmax + 2) * (mx + 2) > budget:
+                    return False  # too big to brute-force: full route
+            plan.parts.append(("win", len(window_jobs)))
+            window_jobs.append((q[q0 : q1 - suf], t[t0 : t1 - suf]))
         if suf:
             plan.parts.append(("items", [(suf, "=")]))
         return True
@@ -182,9 +176,9 @@ def _np2(x: int) -> int:
 
 
 def align_windows(al, jobs, pen) -> list:
-    """Exact batched alignment of all window jobs (dispatch + collect in
-    one call — see dispatch_windows/collect_windows for the split the
-    runner uses to overlap the mega chunk's host decode)."""
+    """Exact batched alignment of all window jobs (host DP + device
+    dispatch + collect in one call — see dispatch_windows/collect_windows
+    for the split the runner uses to overlap the mega chunk)."""
     return collect_windows(al, jobs, dispatch_windows(al, jobs, pen), pen)
 
 
@@ -231,25 +225,55 @@ def _initial_window_band(qw, tw) -> int:
     return min(_ru(abs(qw.size - tw.size) + 65, 128) - 1, mx + 1)
 
 
-def dispatch_windows(al, jobs, pen) -> list:
-    """Issue the first-round window dispatches (async device work);
-    returns dispatch descriptors for collect_windows."""
+def dispatch_windows(al, jobs, pen) -> tuple[list, list]:
+    """Align windows: host C++ DP for everything under the cell budget
+    (exact full-matrix, threaded, zero device dispatches — this runs
+    while the mega chunk computes on device), device dispatches only for
+    oversized windows.  Returns (device dispatch descriptors, out) where
+    ``out`` already holds the host-aligned items."""
+    out = [None] * len(jobs)
     if not jobs:
-        return []
+        return [], out
+    budget = al.cfg.wide_host_window_cells
+    host_sel = []
+    device_sel = []
+    for j, (qw, tw) in enumerate(jobs):
+        if budget and (qw.size + 1) * (tw.size + 1) <= budget:
+            host_sel.append(j)
+        else:
+            device_sel.append(j)
+    if host_sel:
+        from ..native import window_dp_native
+
+        res = window_dp_native(
+            [jobs[j][0] for j in host_sel],
+            [jobs[j][1] for j in host_sel],
+            pen,
+            threads=al.cfg.threads,
+        )
+        if res is None:  # no toolchain: everything goes to the device
+            device_sel = list(range(len(jobs)))
+        else:
+            _scores, items_all = res
+            for j, items in zip(host_sel, items_all):
+                out[j] = items
+            al.stats["host_windows"] += len(host_sel)
+    if not device_sel:
+        return [], out
     pending = [
-        (j, _initial_window_band(qw, tw)) for j, (qw, tw) in enumerate(jobs)
+        (j, _initial_window_band(jobs[j][0], jobs[j][1])) for j in device_sel
     ]
     return [
         _dispatch_window_chunk(al, jobs, chunk, band, pen)
         for chunk, band in _plan_chunks(al, jobs, pending)
-    ]
+    ], out
 
 
-def collect_windows(al, jobs, dispatched, pen) -> list:
+def collect_windows(al, jobs, state, pen) -> list:
     """Collect dispatched window chunks; escalation rounds (band
     certificate failures) re-dispatch synchronously — rare.  Returns the
     per-job CIGAR item lists."""
-    out = [None] * len(jobs)
+    dispatched, out = state
     rounds = 0
     while dispatched:
         rounds += 1
@@ -375,16 +399,18 @@ def _collect_window_chunk(al, jobs, disp, pen, out, nxt):
 
 
 def stitch(plan: WidePlan, witems: list) -> list[tuple[int, str]]:
+    """Parts are internally coalesced run-length lists, so only the
+    boundary items can merge — extend beats per-item pushes ~10x."""
     items: list[tuple[int, str]] = []
     for kind, x in plan.parts:
         src = x if kind == "items" else witems[x]
-        for n, op in src:
-            if n <= 0:
-                continue
-            if items and items[-1][1] == op:
-                items[-1] = (items[-1][0] + n, op)
-            else:
-                items.append((n, op))
+        if not src:
+            continue
+        if items and items[-1][1] == src[0][1]:
+            items[-1] = (items[-1][0] + src[0][0], src[0][1])
+            items.extend(src[1:])
+        else:
+            items.extend(src)
     return items
 
 

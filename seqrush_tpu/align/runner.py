@@ -191,6 +191,17 @@ class RunnerConfig:
     # certified band (no traceback/walk); mismatches fall back to the full
     # wide route, making anchored results certified-exact end to end
     wide_verify: bool = False
+    # anchored-route / sweepga gap windows with at most this many DP cells
+    # run on the HOST (threaded C++ full-matrix exact DP,
+    # native.window_dp_native): tiny irregular windows cost a dispatch
+    # round trip + a compile shape each on a (tunneled) TPU and
+    # microseconds natively — and the host work fully overlaps the mega
+    # chunk's device time.  Large windows (e.g. ~1.2M-cell inversion
+    # cores) stay on the DEVICE: at ~2.2 ns/cell/core the bench host (4
+    # cores) needs ~170 ms for 48 of them vs ~30 ms as one 2,304-step
+    # device program.  Raise on many-core hosts.  0 disables host windows
+    # entirely (also the no-toolchain fallback).
+    wide_host_window_cells: int = 1 << 18
 
 
 class _TiledChunk(list):
@@ -256,7 +267,8 @@ class WfaAligner:
             "tiled_chunks": 0,  # band-tiled merged dispatches
             "tiled_rows": 0,  # extra batch rows spent on wide-pair tiles
             "anchored_pairs": 0,  # wide jobs aligned via the anchored route
-            "anchored_windows": 0,  # device-aligned windows across those jobs
+            "anchored_windows": 0,  # divergence-core windows across those jobs
+            "host_windows": 0,  # windows aligned by the host C++ DP
             "anchored_fallbacks": 0,  # wide jobs sent back to the full route
             "wide_verified": 0,  # stitched scores certified by score-only sweep
             # host-side phase timers (seconds; overlap-aware only in that

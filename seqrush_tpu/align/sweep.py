@@ -256,26 +256,33 @@ class SweepAligner(WfaAligner):
         for mi, m in enumerate(survivors):
             items: list[tuple[int, str]] = []
 
-            def push(n, op):
-                if n <= 0:
+            def extend(src):
+                # sources are internally coalesced run-length lists, so
+                # only the boundary item can merge
+                if not src:
                     return
-                if items and items[-1][1] == op:
-                    items[-1] = (items[-1][0] + n, op)
+                if items and items[-1][1] == src[0][1]:
+                    items[-1] = (items[-1][0] + src[0][0], src[0][1])
+                    items.extend(src[1:])
                 else:
-                    items.append((n, op))
+                    items.extend(src)
 
             for g, (q0, t0_, n0) in enumerate(m.runs):
-                push(n0, "=")
+                extend([(n0, "=")])
                 if g < len(m.runs) - 1:
                     q1, t1_, _ = m.runs[g + 1]
                     gq0, gt0 = q0 + n0, t0_ + n0
-                    if (mi, g) in gap_cigars:
-                        for n, op in gap_cigars[(mi, g)]:
-                            push(n, op)
+                    gi = gap_cigars.get((mi, g))
+                    if gi is not None:
+                        extend(gi)
                     else:
-                        # touching/overlapping next run handled by coalescing
-                        push(q1 - gq0, "I")
-                        push(t1_ - gt0, "D")
+                        # touching next run (no gap on either axis)
+                        tmp = []
+                        if q1 - gq0 > 0:
+                            tmp.append((q1 - gq0, "I"))
+                        if t1_ - gt0 > 0:
+                            tmp.append((t1_ - gt0, "D"))
+                        extend(tmp)
             dropped_pairs.discard(m.pair_idx)
             results.append(
                 AlignmentResult(
@@ -310,15 +317,10 @@ class SweepAligner(WfaAligner):
         # one flat base comparison + one RLE across every fast window
         # (per-window resolve_matches calls were the backend's host
         # hot spot at ~30k windows per all-pairs run)
-        gap_min = pen.gap1_open + pen.gap1_extend
-        if pen.two_piece:
-            gap_min = min(gap_min, pen.gap2_open + pen.gap2_extend)
-        # collect every equal-length gap's bases flat (one concatenate),
-        # count mismatches per window in one reduceat, then split fast
-        # (all-diagonal) windows from device jobs
-        eq_keys: list[tuple[int, int]] = []
-        eq_q: list[np.ndarray] = []
-        eq_t: list[np.ndarray] = []
+        # classify gaps vectorized per record; every DP-needing window
+        # becomes a job (the host C++ DP resolves the small ones — it
+        # tie-prefers the diagonal, so provably-diagonal SNP windows come
+        # back identical to the old host fast path, and exactly for free)
         for mi, m in enumerate(survivors):
             q = self.rc_codes[m.qi] if m.is_rev else self.codes[m.qi]
             t = self.codes[m.tj]
@@ -329,55 +331,41 @@ class SweepAligner(WfaAligner):
             dt = ra[1:, 1] - gt0
             for g in np.flatnonzero((dq > 0) | (dt > 0)).tolist():
                 a, b = int(gq0[g]), int(gt0[g])
-                if dq[g] == dt[g]:
-                    eq_keys.append((mi, g))
-                    eq_q.append(q[a : a + int(dq[g])])
-                    eq_t.append(t[b : b + int(dt[g])])
-                else:
-                    gap_jobs.append(
-                        (mi, g, q[a : a + int(dq[g])], t[b : b + int(dt[g])])
-                    )
-        fast_keys: list[tuple[int, int]] = []
-        fast_q: list[np.ndarray] = []
-        fast_t: list[np.ndarray] = []
-        if eq_keys:
-            wl = np.array([a.size for a in eq_q], dtype=np.int64)
-            flat_neq = (np.concatenate(eq_q) != np.concatenate(eq_t))
-            nmm = np.add.reduceat(flat_neq, np.cumsum(wl) - wl)
-            is_fast = (nmm * pen.mismatch <= 2 * gap_min).tolist()
-            for w, key in enumerate(eq_keys):
-                if is_fast[w]:
-                    fast_keys.append(key)
-                    fast_q.append(eq_q[w])
-                    fast_t.append(eq_t[w])
-                else:
-                    gap_jobs.append((key[0], key[1], eq_q[w], eq_t[w]))
-        if fast_keys:
-            wlens = np.array([a.size for a in fast_q], dtype=np.int64)
-            ends = np.cumsum(wlens)
-            total = int(ends[-1])
-            neq = np.concatenate(fast_q) != np.concatenate(fast_t)
-            change = np.empty(total, dtype=bool)
-            change[0] = True
-            change[1:] = neq[1:] != neq[:-1]
-            change[ends[:-1]] = True  # segment break at every window start
-            seg_starts = np.flatnonzero(change)
-            seg_lens = np.diff(np.append(seg_starts, total)).tolist()
-            seg_x = neq[seg_starts].tolist()
-            # first segment index of each window
-            seg_bound = np.searchsorted(seg_starts, ends - wlens).tolist()
-            seg_bound.append(len(seg_lens))
-            for w, key in enumerate(fast_keys):
-                gap_cigars[key] = [
-                    (seg_lens[s], "X" if seg_x[s] else "=")
-                    for s in range(seg_bound[w], seg_bound[w + 1])
-                ]
+                gap_jobs.append(
+                    (mi, g, q[a : a + int(dq[g])], t[b : b + int(dt[g])])
+                )
         if not gap_jobs:
             return gap_cigars
-        # chunk the remaining (indel-bearing) windows: sorted by size so
-        # each chunk's padding is tight; 8k windows/dispatch — windows are
-        # tiny (tens of bp), so even the max chunk is a small program, and
-        # every dispatch costs a host-link round trip
+        # indel-bearing windows: host C++ DP for everything under the cell
+        # budget (exact full-matrix, threaded — a dispatch round trip plus
+        # a compile shape each on a tunneled TPU, microseconds natively);
+        # the device aligns only oversized windows
+        budget = self.cfg.wide_host_window_cells
+        if budget:
+            from ..native import window_dp_native
+
+            host = [
+                j for j in gap_jobs
+                if (j[2].size + 1) * (j[3].size + 1) <= budget
+            ]
+            if host:
+                res = window_dp_native(
+                    [j[2] for j in host], [j[3] for j in host], pen,
+                    threads=self.cfg.threads,
+                )
+                if res is not None:
+                    for (mi, g, _qw, _tw), items in zip(host, res[1]):
+                        gap_cigars[(mi, g)] = items
+                    self.stats["host_windows"] += len(host)
+                    done = {(j[0], j[1]) for j in host}
+                    gap_jobs = [
+                        j for j in gap_jobs if (j[0], j[1]) not in done
+                    ]
+        if not gap_jobs:
+            return gap_cigars
+        # chunk the remaining windows: sorted by size so each chunk's
+        # padding is tight; 8k windows/dispatch — every dispatch costs a
+        # host-link round trip
         gap_jobs.sort(key=lambda j: (max(j[2].size, j[3].size), j[2].size))
         CHUNK = 8192
         for lo in range(0, len(gap_jobs), CHUNK):

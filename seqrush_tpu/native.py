@@ -126,6 +126,18 @@ def get_lib():
             c_i64p, c_i64p, c_i64p, c_i64p, c_i64p,
         ]
         lib.chain_pairs.restype = ctypes.c_int64
+        lib.window_dp.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), c_i64p,
+            ctypes.POINTER(ctypes.c_uint8), c_i64p,
+            ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), c_i64p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            c_i64p,
+        ]
+        lib.window_dp.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -339,3 +351,88 @@ def chain_pairs_native(
     )
     nr = int(chain_off[c])
     return chain_pair[:c], chain_off[: c + 1], runs_q[:nr], runs_t[:nr], runs_len[:nr]
+
+
+_OP_CHARS = ("=", "X", "I", "D")
+
+
+def window_dp_native(
+    qs: list[np.ndarray],
+    ts: list[np.ndarray],
+    pen,
+    threads: int = 8,
+):
+    """Batched exact two-piece-affine window DP on the host (C++, threaded).
+
+    The anchored wide route's and the sweepga gap fill's divergence-core
+    windows are tiny irregular workloads — a dispatch round trip + compile
+    shape each on a (tunneled) TPU, microseconds in native code.  Scores
+    are the exact global optima (fuzz-pinned against the device kernel in
+    tests/test_native.py); CIGARs use the kernels' walk-order tie
+    preference (diag, D1, I1, D2, I2) but may differ from the device walk
+    in equal-score tie cases (pipeline-permitted, same policy as the
+    row-major/fold kernels).
+
+    Returns (scores [n] int64, items list of run-length lists) or None
+    when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qs)
+    if n == 0:
+        return np.zeros(0, np.int64), []
+    qoffs = np.zeros(n + 1, np.int64)
+    toffs = np.zeros(n + 1, np.int64)
+    for w, (q, t) in enumerate(zip(qs, ts)):
+        qoffs[w + 1] = qoffs[w] + q.size
+        toffs[w + 1] = toffs[w] + t.size
+    qbuf = (
+        np.concatenate(qs) if qoffs[-1] else np.zeros(1, np.uint8)
+    ).astype(np.uint8, copy=False)
+    tbuf = (
+        np.concatenate(ts) if toffs[-1] else np.zeros(1, np.uint8)
+    ).astype(np.uint8, copy=False)
+    qbuf = np.ascontiguousarray(qbuf)
+    tbuf = np.ascontiguousarray(tbuf)
+    caps = (qoffs[1:] - qoffs[:-1]) + (toffs[1:] - toffs[:-1]) + 1
+    item_offs = np.zeros(n + 1, np.int64)
+    item_offs[1:] = np.cumsum(caps)
+    scores = np.zeros(n, np.int32)
+    ops = np.zeros(max(int(item_offs[-1]), 1), np.uint8)
+    lens = np.zeros(max(int(item_offs[-1]), 1), np.int32)
+    counts = np.zeros(n, np.int64)
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.window_dp(
+        u8p(qbuf), i64p(qoffs), u8p(tbuf), i64p(toffs), n,
+        pen.mismatch, pen.gap1_open, pen.gap1_extend,
+        pen.gap2_open if pen.two_piece else -1,
+        pen.gap2_extend if pen.two_piece else -1,
+        threads,
+        i32p(scores), i64p(item_offs), u8p(ops), i32p(lens), i64p(counts),
+    )
+    # vectorized item extraction: gather the used (op, len) entries flat,
+    # decode ops to chars in one take, then slice per window — the naive
+    # per-window comprehension was ~10x slower at tens of thousands of
+    # tiny windows
+    total = int(counts.sum())
+    if total:
+        starts = item_offs[:-1]
+        flat = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+            + np.repeat(starts, counts)
+        )
+        pairs_flat = list(
+            zip(
+                lens[flat].tolist(),
+                np.take(np.array(_OP_CHARS), ops[flat]).tolist(),
+            )
+        )
+    else:
+        pairs_flat = []
+    bounds = np.cumsum(counts).tolist()
+    items = [pairs_flat[a:b] for a, b in zip([0] + bounds[:-1], bounds)]
+    return scores.astype(np.int64), items

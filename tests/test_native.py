@@ -135,3 +135,82 @@ def test_chain_anchors_native_matches_python():
             end = int(pred[end])
         chain.reverse()
         assert list(idx) == chain, f"trial {trial}"
+
+
+@pytest.mark.parametrize("two_piece", [True, False])
+def test_window_dp_native_exact_vs_device_kernel(two_piece):
+    """Host C++ window DP (the anchored route's / sweepga gap fill's
+    small-window engine): optimal scores must equal the device kernel's
+    full-band scores; CIGARs must be valid ('='/'X' correct, consumption
+    exact, run-cost == reported score)."""
+    from seqrush_tpu.ops import nw
+
+    pen = Penalties(5, 8, 2, 24, 1) if two_piece else Penalties(5, 8, 2, None, None)
+    rng = np.random.default_rng(42 + two_piece)
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+    qs, ts = [], []
+    for _ in range(60):
+        L = int(rng.integers(1, 90))
+        q = rng.integers(0, 4, size=L).astype(np.uint8)
+        t = bytearray(q.tobytes())
+        for pos in rng.integers(0, L, size=max(1, L // 8)):
+            t[pos] = rng.integers(0, 4)
+        t = np.frombuffer(bytes(t), np.uint8).copy()
+        k = int(rng.integers(0, 4))
+        if k == 1 and L > 10:
+            t = np.delete(t, slice(2, 2 + int(rng.integers(1, 6))))
+        if k == 2:
+            t = np.insert(t, int(rng.integers(0, L)),
+                          rng.integers(0, 4, size=int(rng.integers(1, 6))).astype(np.uint8))
+        if k == 3 and L > 20:
+            a, b = L // 4, 3 * L // 4
+            t[a:b] = np.array([comp[int(x)] for x in t[a:b]][::-1], np.uint8)
+        qs.append(q)
+        ts.append(t)
+    qs += [np.zeros(0, np.uint8), np.array([1], np.uint8)]
+    ts += [np.array([2, 3], np.uint8), np.zeros(0, np.uint8)]
+    out = native.window_dp_native(qs, ts, pen, threads=4)
+    if out is None:
+        pytest.skip("native toolchain unavailable")
+    scores, items_all = out
+    for w, (q, t) in enumerate(zip(qs, ts)):
+        items = items_all[w]
+        assert sum(n for n, op in items if op in "=XI") == q.size
+        assert sum(n for n, op in items if op in "=XD") == t.size
+        qi = ti = cost = 0
+        for n, op in items:
+            if op in "=X":
+                eq = q[qi : qi + n] == t[ti : ti + n]
+                assert eq.all() if op == "=" else not eq.any()
+                cost += 0 if op == "=" else n * pen.mismatch
+                qi += n
+                ti += n
+            else:
+                g1 = pen.gap1_open + n * pen.gap1_extend
+                cost += (
+                    min(g1, pen.gap2_open + n * pen.gap2_extend)
+                    if pen.two_piece
+                    else g1
+                )
+                qi, ti = (qi + n, ti) if op == "I" else (qi, ti + n)
+        assert cost == scores[w]
+    # optimality: device kernel at full band
+    B = len(qs)
+    Bp = 1 << max(3, (B - 1).bit_length())
+    lq = max(max(q.size for q in qs), 1)
+    lt = max(max(t.size for t in ts), 1)
+    Q = np.full((Bp, lq), nw.QPAD, np.uint8)
+    T = np.full((Bp, lt), nw.TPAD, np.uint8)
+    qlens = np.zeros(Bp, np.int32)
+    tlens = np.zeros(Bp, np.int32)
+    for b, (q, t) in enumerate(zip(qs, ts)):
+        Q[b, : q.size] = q
+        T[b, : t.size] = t
+        qlens[b], tlens[b] = q.size, t.size
+    ref, _ = nw.nw_align_device(
+        Q, T, qlens, tlens, mismatch=5, o1=8, e1=2,
+        o2=24 if two_piece else -1, e2=1 if two_piece else -1,
+        band=max(lq, lt) + 1, tmax=((lq + lt + 2) + 255) // 256 * 256,
+        with_traceback=False,
+    )
+    assert (np.asarray(ref)[:B] == np.asarray(scores)).all()
