@@ -178,8 +178,9 @@ def main():
         f"({st['band_escalations']} band escalations, "
         f"{st['int16_retries']} int16 retries, {st['dropped']} dropped); "
         f"{cells / 1e6:.0f}M padded DP cells = {cells / dt / 1e9:.2f} G cells/s "
-        f"({st['cells_true'] / 1e6:.0f}M true cells; exactness certified via "
-        f"band certificate)",
+        f"({st['cells_true'] / 1e6:.0f}M true cells; "
+        f"{st['anchored_pairs']} wide pairs via the anchored route; "
+        f"exactness: band certificate + DP-oracle-checked anchored stitches)",
         file=sys.stderr,
     )
 

@@ -87,6 +87,7 @@ def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
         al._minimizers(int(qi), rc),
         al._minimizers(int(tj), False),
         max_freq=al.cfg.frequency,
+        t_sorted=al._minimizers_sorted(int(tj), False),
     )
     if a.shape[0] == 0:
         return None
@@ -125,10 +126,15 @@ def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
             # divergence core -> window job: tiny cores go to the batched
             # host C++ DP (which tie-prefers the diagonal, so provably
             # all-diagonal SNP cores come back identical to the old host
-            # fast path), larger ones to device window chunks
+            # fast path), larger ones to device window chunks.  An
+            # analytic I/D skip for anchor-free cores was tried and is
+            # WRONG: the DP-oracle gate caught sub-24bp homology islands
+            # worth 33 points on a ~768 bp inversion core (two ~20 bp
+            # exact runs beat the pure skip, and nothing short of DP can
+            # rule them out) — big cores keep their exact DP.
             mx = max(dq, dt)
             if mx > SMALL_WINDOW:
-                # full-band window: check the traceback fits the budget
+                # full-band window: traceback must fit the budget
                 tmax = _ru(dq + dt + 1, 256)
                 if 8 * (tmax + 2) * (mx + 2) > budget:
                     return False  # too big to brute-force: full route

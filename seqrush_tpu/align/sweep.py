@@ -58,7 +58,7 @@ class _Mapping:
     qi: int
     tj: int
     is_rev: bool
-    runs: list[tuple[int, int, int]]  # (q0, t0, n) exact-match runs
+    runs: np.ndarray  # [n, 3] (q0, t0, len) exact-match runs
     qlen: int  # full query length (for RC-space -> original-strand coords)
     q_start: int = field(init=False)
     q_end: int = field(init=False)
@@ -67,11 +67,12 @@ class _Mapping:
     matched: int = field(init=False)
 
     def __post_init__(self):
-        self.q_start = self.runs[0][0]
-        self.q_end = self.runs[-1][0] + self.runs[-1][2]
-        self.t_start = self.runs[0][1]
-        self.t_end = self.runs[-1][1] + self.runs[-1][2]
-        self.matched = sum(n for _q, _t, n in self.runs)
+        self.runs = np.asarray(self.runs, dtype=np.int64).reshape(-1, 3)
+        self.q_start = int(self.runs[0, 0])
+        self.q_end = int(self.runs[-1, 0] + self.runs[-1, 2])
+        self.t_start = int(self.runs[0, 1])
+        self.t_end = int(self.runs[-1, 1] + self.runs[-1, 2])
+        self.matched = int(self.runs[:, 2].sum())
 
     @property
     def block_len(self) -> int:
@@ -224,15 +225,17 @@ class SweepAligner(WfaAligner):
             native_out = None
         if native_out is not None:
             chain_pair, chain_off, runs_q, runs_t, runs_len = native_out
-            rq_l, rt_l, rl_l = runs_q.tolist(), runs_t.tolist(), runs_len.tolist()
+            runs_all = np.stack([runs_q, runs_t, runs_len], axis=1)
             co = chain_off.tolist()
             for c, p in enumerate(chain_pair.tolist()):
-                runs = list(zip(rq_l[co[c]:co[c+1]], rt_l[co[c]:co[c+1]], rl_l[co[c]:co[c+1]]))
-                if runs:
+                if co[c + 1] > co[c]:
                     qi, tj = pairs[p]
                     q = self.rc_codes[qi] if is_rev[p] else self.codes[qi]
                     mappings.append(
-                        _Mapping(int(p), int(qi), int(tj), bool(is_rev[p]), runs, q.size)
+                        _Mapping(
+                            int(p), int(qi), int(tj), bool(is_rev[p]),
+                            runs_all[co[c] : co[c + 1]], q.size,
+                        )
                     )
         else:
             for p, (qi, tj) in enumerate(pairs):
@@ -267,10 +270,11 @@ class SweepAligner(WfaAligner):
                 else:
                     items.extend(src)
 
-            for g, (q0, t0_, n0) in enumerate(m.runs):
+            runs_l = m.runs.tolist()
+            for g, (q0, t0_, n0) in enumerate(runs_l):
                 extend([(n0, "=")])
-                if g < len(m.runs) - 1:
-                    q1, t1_, _ = m.runs[g + 1]
+                if g < len(runs_l) - 1:
+                    q1, t1_, _ = runs_l[g + 1]
                     gq0, gt0 = q0 + n0, t0_ + n0
                     gi = gap_cigars.get((mi, g))
                     if gi is not None:
@@ -324,7 +328,7 @@ class SweepAligner(WfaAligner):
         for mi, m in enumerate(survivors):
             q = self.rc_codes[m.qi] if m.is_rev else self.codes[m.qi]
             t = self.codes[m.tj]
-            ra = np.asarray(m.runs, dtype=np.int64)
+            ra = m.runs
             gq0 = ra[:-1, 0] + ra[:-1, 2]
             gt0 = ra[:-1, 1] + ra[:-1, 2]
             dq = ra[1:, 0] - gq0
