@@ -13,11 +13,13 @@ actually diverge:
 
 1. **Chain**: exact-match minimizer anchors + colinear chaining
    (ops/anchors.py, C++ chain DP) give maximal exact-match runs.
-2. **Windows**: the inter-run gaps (plus head/tail) are aligned exactly —
-   tiny SNP windows resolve on host (provably all-diagonal), small windows
-   ride narrow-band batched dispatches, and large no-anchor windows (e.g.
-   an inverted block) run at FULL band, which is unconditionally exact and
-   still ~3x fewer serial steps than the whole-pair wide sweep.
+2. **Windows**: exact flank extension shrinks each inter-run gap (plus
+   head/tail) to its divergence core; cores under
+   RunnerConfig.wide_host_window_cells run in ONE threaded C++ call
+   (native.window_dp_native — full-matrix exact, zero device dispatches,
+   overlapping the mega chunk's device time), and large cores (e.g. an
+   inverted block) run at FULL band on device, which is unconditionally
+   exact and still ~3x fewer serial steps than the whole-pair wide sweep.
 3. **Stitch**: runs ('=' ops) and window CIGARs concatenate into the full
    global alignment; gap runs never merge across boundaries because every
    window is flanked by >= k exact-match bases.
@@ -65,13 +67,6 @@ class WidePlan:
     t: np.ndarray
     # parts: ("items", [(n, op), ...]) resolved on host, or ("win", job_idx)
     parts: list = field(default_factory=list)
-
-
-def _gap_min(pen) -> int:
-    g = pen.gap1_open + pen.gap1_extend
-    if pen.two_piece:
-        g = min(g, pen.gap2_open + pen.gap2_extend)
-    return g
 
 
 def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
