@@ -99,27 +99,38 @@ def main() -> int:
     if not (score_ok and cigar_ok):
         return 1
 
-    # [3] per-step floor, interleaved ABAB x3 at the bench shapes
+    # [3] per-step floor, interleaved ABAB x3 at the bench shapes:
+    # XLA fused (sweep+walk via runs emission) vs Pallas sweep + Pallas walk
     for label, B, W, tmax_s in (("mega", 576, 512, 6656), ("wide", 64, 1536, 6656)):
         Lb = tmax_s // 2
         Qb = np.random.default_rng(1).integers(0, 4, size=(B, Lb)).astype(np.uint8)
         Tb = Qb.copy()
         lb = np.full(B, Lb, np.int32)
         kwb = dict(mismatch=5, o1=8, e1=2, o2=24, e2=1, band=W - 1, tmax=tmax_s)
-        # warm both
-        nw.nw_align_device(Qb, Tb, lb, lb, with_traceback=True, **kwb)[0].block_until_ready()
-        nw_pallas.nw_align_pallas(Qb, Tb, lb, lb, **kwb)[0].block_until_ready()
+
+        def run_xla():
+            s, tok, cnt = nw.nw_align_with_runs(Qb, Tb, lb, lb, **kwb)
+            s.block_until_ready()
+
+        def run_pallas():
+            s, tb = nw_pallas.nw_align_pallas(Qb, Tb, lb, lb, **kwb)
+            ops = nw_pallas.nw_walk_pallas(tb, lb, lb, band=W - 1, tmax=tmax_s)
+            ops.block_until_ready()
+
+        run_xla()  # warm
+        run_pallas()
         for rep in range(3):
             t0 = time.time()
-            nw.nw_align_device(Qb, Tb, lb, lb, with_traceback=True, **kwb)[0].block_until_ready()
+            run_xla()
             dt_x = time.time() - t0
             t0 = time.time()
-            nw_pallas.nw_align_pallas(Qb, Tb, lb, lb, **kwb)[0].block_until_ready()
+            run_pallas()
             dt_p = time.time() - t0
             print(
-                f"[3] {label} rep{rep}: XLA {dt_x*1e6/tmax_s:.1f} us/step "
-                f"({dt_x:.3f}s)  Pallas {dt_p*1e6/tmax_s:.1f} us/step "
-                f"({dt_p:.3f}s)  speedup {dt_x/dt_p:.2f}x"
+                f"[3] {label} rep{rep} (sweep+walk): "
+                f"XLA {dt_x*1e6/(2*tmax_s):.1f} us/step ({dt_x:.3f}s)  "
+                f"Pallas {dt_p*1e6/(2*tmax_s):.1f} us/step ({dt_p:.3f}s)  "
+                f"speedup {dt_x/dt_p:.2f}x"
             )
     print("probe complete — if Pallas wins, set kernel_impl='auto' and re-bench")
     return 0

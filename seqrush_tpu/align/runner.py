@@ -751,9 +751,13 @@ class WfaAligner:
     def _wants_anchored(self, job, pairs) -> bool:
         """Route this job through the anchored piecewise path?  Wide band
         (the job would form/join a monster-band chunk), long enough that
-        the full-length serial program actually hurts, short enough for
-        the single-shot machinery, default kernel stack, not tried before
-        (failed stitches must not loop)."""
+        the full-length serial program actually hurts, default kernel
+        stack, not tried before (failed stitches must not loop).  Pairs of
+        ANY length qualify — windows are bounded by divergence, not pair
+        length, so a 100 kb inversion carrier costs its divergence cores
+        instead of a segmented monster-band program — except in verify
+        mode, whose score-only certification sweep needs the single-shot
+        program size."""
         p, rc, band, _f32 = job
         if (p, rc) in self._anchored_tried:
             return False
@@ -762,7 +766,10 @@ class WfaAligner:
         return (
             band > self.cfg.wide_band_threshold
             and max(qlen, tlen) >= self.cfg.wide_min_len
-            and qlen + tlen <= self.cfg.long_pair_threshold
+            and (
+                not self.cfg.wide_verify
+                or qlen + tlen <= self.cfg.long_pair_threshold
+            )
             and self.cfg.device_traceback
             and self.cfg.sweep != "rows"
             and not self._use_pallas()
@@ -1408,10 +1415,22 @@ class WfaAligner:
                 from ..ops import nw_pallas
 
                 scores, tb = nw_pallas.nw_align_pallas(Q, T, qlens, tlens, **kw)
-                opcodes = nw.traceback_scan_device(
-                    tb, qlens, tlens, band=band, tmax=tmax
-                )
-                return chunk, scores, ("ops", opcodes), qlens, tlens, band, False
+                try:
+                    # hand-placed walk kernel: one program per 8 pairs
+                    # instead of a per-step-sequenced XLA scan (the walk is
+                    # ~55% of the fused kernel's wall)
+                    ops = nw_pallas.nw_walk_pallas(
+                        tb, qlens, tlens, band=band, tmax=tmax
+                    )
+                    return (
+                        chunk, scores, ("ops_unpacked", ops),
+                        qlens, tlens, band, False,
+                    )
+                except Exception:
+                    opcodes = nw.traceback_scan_device(
+                        tb, qlens, tlens, band=band, tmax=tmax
+                    )
+                    return chunk, scores, ("ops", opcodes), qlens, tlens, band, False
             except Exception:
                 self._pallas_ok = False  # lowering failed: stick to XLA
         if kw["tmax"] > self.cfg.long_pair_threshold:
@@ -1498,6 +1517,10 @@ class WfaAligner:
             data = (steps, grows, gvals, gcount)
         elif mode == "runs":
             data = tuple(np.asarray(a) for a in data)  # (tokens, counts)
+        elif mode == "ops_unpacked":
+            # pallas walk output: per-step opcodes, already unpacked
+            data = np.asarray(data)
+            mode = "ops"
         elif mode != "items":
             data = np.asarray(data)
             if mode == "ops":

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .nw import H_D1, H_D2, H_I1, H_I2, QPAD, TPAD
+from .nw import H_D1, H_D2, H_DIAG, H_I1, H_I2, OP_D, OP_I, OP_M, OP_NONE, QPAD, TPAD
 
 INF = 2**28  # plain int: jnp scalars would be captured consts in the kernel
 GROUP = 8  # pairs per program == VPU sublanes
@@ -189,6 +189,165 @@ def _kernel(
     n_chunks = (tmax + 1 + TB_CHUNK - 1) // TB_CHUNK
     flush(n_chunks - 1)
     scores_ref[:] = score_acc[:]
+
+
+def _walk_kernel(
+    tb_ref,  # [B, TMAX_PAD, W] uint8 (ANY/HBM; group offset applied in-kernel)
+    qlens_ref,  # [G, 1] int32 (VMEM)
+    tlens_ref,  # [G, 1] int32 (VMEM)
+    ops_ref,  # [B, OPS_PAD] uint8 out (ANY/HBM)
+    cur_t,  # [G, 1] int32 scratch
+    lane,  # [G, 1] int32 scratch
+    mat,  # [G, 1] int32 scratch (0 H, 1 D1, 2 I1, 3 D2, 4 I2)
+    done,  # [G, 1] int32 scratch (bool)
+    row_block,  # [G, TB_CHUNK, W] uint8 scratch
+    out_stage,  # [G, TB_CHUNK] uint8 scratch
+    in_sem,
+    out_sem,
+    *,
+    band,
+    tmax,
+    ops_pad,
+):
+    """Reverse opcode walk over the packed traceback, whole kernel = one
+    program per 8 pairs: the XLA formulation pays the scan's per-step
+    sequencing floor (~11.7 us at mega-chunk shapes — the wall's dominant
+    term, ROUND3_NOTES §1); here each step is a few VPU ops against a
+    VMEM-staged row block.  Semantics are exactly
+    nw.traceback_scan_device: one visit per anti-diagonal, gap-state
+    switches consume the same byte as the gap op, opcodes land at column
+    td (0 none, 1 M, 2 I, 3 D)."""
+    K = band
+    W = K + 1
+    g = pl.program_id(0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
+
+    qlens = qlens_ref[:]
+    tlens = tlens_ref[:]
+
+    def i0_of(t):
+        return jnp.maximum((t - K + 1) // 2, 0)
+
+    t0 = qlens + tlens
+    cur_t[:] = t0
+    lane[:] = qlens - i0_of(t0)
+    mat[:] = jnp.zeros((GROUP, 1), jnp.int32)
+    done[:] = (t0 == 0).astype(jnp.int32)
+
+    n_blocks = ops_pad // TB_CHUNK
+
+    def block_body(bi, _):
+        blk = n_blocks - 1 - bi  # high anti-diagonals first
+        load = pltpu.make_async_copy(
+            tb_ref.at[pl.ds(g * GROUP, GROUP), pl.ds(blk * TB_CHUNK, TB_CHUNK), :],
+            row_block,
+            in_sem,
+        )
+        load.start()
+        load.wait()
+        out_stage[:] = jnp.zeros((GROUP, TB_CHUNK), jnp.uint8)
+
+        def step(si, _):
+            local = TB_CHUNK - 1 - si
+            td = blk * TB_CHUNK + local
+            row = row_block[:, local, :].astype(jnp.int32)
+            active = (done[:] == 0) & (cur_t[:] == td) & (td >= 1)
+            b = jnp.sum(
+                jnp.where(lanes == lane[:], row, 0), axis=1, keepdims=True
+            )
+
+            i = i0_of(td) + lane[:]
+            j = td - i
+
+            choice = b & 7
+            is_h = mat[:] == 0
+            go_d1 = (is_h & (choice == H_D1)) | (mat[:] == 1)
+            go_i1 = (is_h & (choice == H_I1)) | (mat[:] == 2)
+            go_d2 = (is_h & (choice == H_D2)) | (mat[:] == 3)
+            go_i2 = (is_h & (choice == H_I2)) | (mat[:] == 4)
+            diag = is_h & (choice == H_DIAG)
+
+            opened = jnp.where(
+                go_d1, (b >> 5) & 1,
+                jnp.where(go_i1, (b >> 3) & 1,
+                          jnp.where(go_d2, (b >> 6) & 1, (b >> 4) & 1)),
+            ) != 0
+
+            gap_d = go_d1 | go_d2
+            gap_i = go_i1 | go_i2
+            op = jnp.where(
+                diag, OP_M, jnp.where(gap_i, OP_I, jnp.where(gap_d, OP_D, OP_NONE))
+            )
+            ni = jnp.where(diag | gap_i, i - 1, i)
+            nj = jnp.where(diag | gap_d, j - 1, j)
+            nmat = jnp.where(
+                diag | opened,
+                0,
+                jnp.where(go_d1, 1, jnp.where(go_i1, 2, jnp.where(go_d2, 3, 4))),
+            )
+            nt = ni + nj
+            nl = ni - i0_of(nt)
+            ndone = (ni == 0) & (nj == 0)
+
+            cur_t[:] = jnp.where(active, nt, cur_t[:])
+            lane[:] = jnp.where(active, nl, lane[:])
+            mat[:] = jnp.where(active, nmat, mat[:])
+            done[:] = jnp.where(active & ndone, 1, done[:])
+            emitted = jnp.where(active, op, OP_NONE).astype(jnp.uint8)
+            out_stage[:, local] = emitted[:, 0]
+            return 0
+
+        jax.lax.fori_loop(0, TB_CHUNK, step, 0)
+        flush = pltpu.make_async_copy(
+            out_stage,
+            ops_ref.at[pl.ds(g * GROUP, GROUP), pl.ds(blk * TB_CHUNK, TB_CHUNK)],
+            out_sem,
+        )
+        flush.start()
+        flush.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, block_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band", "tmax", "interpret")
+)
+def nw_walk_pallas(tb, qlens, tlens, *, band: int, tmax: int, interpret: bool = False):
+    """Pallas reverse opcode walk.  tb [B, TMAX_PAD, W] uint8 (the sweep's
+    output); returns UNPACKED opcodes [B, tmax + 1] uint8 in the
+    traceback_scan_device column convention (feed to nw.decode_batch)."""
+    B = tb.shape[0]
+    assert B % GROUP == 0, f"batch {B} must be a multiple of {GROUP}"
+    ops_pad = ((tmax + 1 + TB_CHUNK - 1) // TB_CHUNK) * TB_CHUNK
+    assert tb.shape[1] >= ops_pad, (tb.shape, ops_pad)
+    W = band + 1
+    kernel = functools.partial(
+        _walk_kernel, band=band, tmax=tmax, ops_pad=ops_pad
+    )
+    ops = pl.pallas_call(
+        kernel,
+        grid=(B // GROUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tb stays in HBM
+            pl.BlockSpec((GROUP, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, ops_pad), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, 1), jnp.int32),  # cur_t
+            pltpu.VMEM((GROUP, 1), jnp.int32),  # lane
+            pltpu.VMEM((GROUP, 1), jnp.int32),  # mat
+            pltpu.VMEM((GROUP, 1), jnp.int32),  # done
+            pltpu.VMEM((GROUP, TB_CHUNK, W), jnp.uint8),  # row block
+            pltpu.VMEM((GROUP, TB_CHUNK), jnp.uint8),  # out staging
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(tb, qlens.astype(jnp.int32)[:, None], tlens.astype(jnp.int32)[:, None])
+    return ops[:, : tmax + 1]
 
 
 @functools.partial(

@@ -55,9 +55,29 @@ def one_trial(trial: int, workdir: str) -> list[str]:
     rng = np.random.default_rng(trial * 7919)
     n = int(rng.integers(2, 7))
     L = int(rng.integers(40, 500))
+    wide_trial = rng.random() < 0.15
+    if wide_trial:
+        # long, heavily diverged family: drives the anchored wide route
+        # (chain + host window DP + stitch + fallbacks), which small
+        # trials never reach (wide_min_len gate)
+        n = int(rng.integers(2, 4))
+        L = int(rng.integers(2100, 4200))
     base = BASES[rng.integers(0, 4, size=L)].tobytes()
     fam = [(f"s{k}", mutate(rng, base) if k else base) for k in range(n)]
+    if wide_trial:
+        # every non-base haplotype gets a large inverted block (10-40%)
+        fam2 = [fam[0]]
+        for name, s in fam[1:]:
+            b = bytearray(s)
+            frac = rng.uniform(0.1, 0.4)
+            a = int(rng.uniform(0.05, 0.9 - frac) * len(b))
+            e = a + int(frac * len(b))
+            b[a:e] = bytes(b[a:e]).translate(COMP)[::-1]
+            fam2.append((name, bytes(b)))
+        fam = fam2
     opts = dict(output=f"{workdir}/fuzz.gfa", seed=trial)
+    if wide_trial and rng.random() < 0.5:
+        opts["wide_verify"] = True  # runtime certification of every stitch
     r = rng.integers(0, 4)
     if r == 1:
         opts["no_compact"] = True

@@ -159,6 +159,42 @@ def test_pallas_parity_matrix(cfg):
         assert a == b
 
 
+@pytest.mark.parametrize("cfg", _MATRIX[:3])
+def test_pallas_walk_matches_xla_walk(cfg):
+    """The Pallas reverse-walk kernel (nw_walk_pallas) must emit the exact
+    per-anti-diagonal opcode stream of the XLA walk (traceback_scan_device)
+    over the Pallas sweep's traceback — the fused all-Pallas route the
+    runner prefers on direct-attached hardware."""
+    rng = np.random.default_rng(7 + cfg["band"])
+    pairs = _variant_pairs(rng)
+    Q, T, qlens, tlens = pack(pairs)
+    tmax = int((qlens + tlens).max()) + 1
+    band = cfg["band"]
+    kw = dict(
+        mismatch=5, o1=8, e1=2,
+        o2=24 if cfg["two_piece"] else -1,
+        e2=1 if cfg["two_piece"] else -1,
+        band=band, tmax=tmax,
+    )
+    _s, tb = nw_pallas.nw_align_pallas(Q, T, qlens, tlens, interpret=True, **kw)
+    opc = nw.traceback_scan_device(tb, qlens, tlens, band=band, tmax=tmax)
+    ops_ref = nw.unpack_opcodes(np.asarray(opc), np.asarray(opc).shape[1] * 4)[
+        :, : tmax + 1
+    ]
+    ops_pal = np.asarray(
+        nw_pallas.nw_walk_pallas(
+            tb, qlens, tlens, band=band, tmax=tmax, interpret=True
+        )
+    )
+    assert (ops_ref == ops_pal).all()
+    qs = [Q[b, : qlens[b]] for b in range(len(pairs))]
+    ts = [T[b, : tlens[b]] for b in range(len(pairs))]
+    items_ref = nw.decode_batch(ops_ref, qs, ts)
+    items_pal = nw.decode_batch(ops_pal, qs, ts)
+    for a, b in zip(items_ref, items_pal):
+        assert a == b
+
+
 def test_pallas_parity_vs_segmented():
     """The segmented long-pair kernel and the Pallas route agree on scores
     and end CIGARs for the same pairs (the config the runner would pick at
@@ -186,3 +222,49 @@ def test_pallas_parity_vs_segmented():
     for k, (a, b) in enumerate(zip(items_seg[: len(pairs)], items_ops)):
         # segmented items carry 'M' placeholders (resolved by the runner)
         assert nw.resolve_matches(a, qs[k], ts[k]) == b
+
+
+def test_runner_all_pallas_route_matches_default(monkeypatch):
+    """Drive the runner's Pallas branch (sweep + walk kernels +
+    'ops_unpacked' collect) end to end in interpret mode: results must
+    equal the default XLA route's."""
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+    from seqrush_tpu.sequences import make_sequence_set
+
+    rng = np.random.default_rng(4)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=200)].tobytes()
+    fam = [("a", base)]
+    for k in range(1, 4):
+        alt = bytearray(base)
+        for pos in rng.integers(0, len(alt), size=5):
+            alt[pos] = bases[rng.integers(0, 4)]
+        if k == 2:
+            del alt[80:88]
+        fam.append((chr(97 + k), bytes(alt)))
+    seqs = make_sequence_set(fam)
+    pairs = np.array([[i, j] for i in range(4) for j in range(4) if i != j])
+    cfg = AlignmentScores.parse("0,5,8,2,24,1")
+
+    ref = WfaAligner(seqs, RunnerConfig(scores=cfg)).align_pairs(pairs)
+    ref_by_key = {(r.query_idx, r.target_idx): r for r in ref}
+
+    real_sweep = nw_pallas.nw_align_pallas
+    real_walk = nw_pallas.nw_walk_pallas
+    monkeypatch.setattr(
+        nw_pallas, "nw_align_pallas",
+        lambda *a, **kw: real_sweep(*a, interpret=True, **kw),
+    )
+    monkeypatch.setattr(
+        nw_pallas, "nw_walk_pallas",
+        lambda *a, **kw: real_walk(*a, interpret=True, **kw),
+    )
+    monkeypatch.setattr(WfaAligner, "_use_pallas", lambda self: True)
+    al = WfaAligner(seqs, RunnerConfig(scores=cfg))
+    res = al.align_pairs(pairs)
+    assert len(res) == len(ref)
+    for r in res:
+        o = ref_by_key[(r.query_idx, r.target_idx)]
+        assert (r.score, r.is_reverse) == (o.score, o.is_reverse)
+        assert r.cigar == o.cigar

@@ -79,3 +79,47 @@ def test_long_pair_routes_segmented_and_validates(tmp_path):
     g = sr.write_gfa()  # hard-fails unless both paths reconstruct
     assert sr.stats["aligner"]["long_pairs"] >= 1, sr.stats["aligner"]
     assert g.comprehensive_verify() == []
+
+
+def test_long_divergent_pair_routes_anchored(tmp_path):
+    """A 40 kb pair at ~1% divergence with an inverted block has a wide
+    certified band — the anchored route must take it (pair length no
+    longer gates the route), spend DP only on divergence cores, and pass
+    the golden gate.  The big inversion core runs on the host C++ DP at a
+    raised cell budget (CI has no device monster program)."""
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+    from seqrush_tpu.scores import AlignmentScores
+
+    rng = np.random.default_rng(21)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    base = bases[rng.integers(0, 4, size=40_000)]
+    s = bytearray(base.tobytes())
+    for pos in rng.integers(0, len(s), size=400):  # ~1% SNPs
+        s[pos] = bases[rng.integers(0, 4)]
+    s[20_000:21_500] = bytes(s[20_000:21_500]).translate(comp)[::-1]
+    seqs = make_sequence_set([("l0", base.tobytes()), ("l1", bytes(s))])
+    al = WfaAligner(
+        seqs,
+        RunnerConfig(
+            scores=AlignmentScores.parse("0,5,8,2,24,1"),
+            wide_host_window_cells=1 << 23,
+        ),
+    )
+    res = al.align_pairs(np.array([[0, 1]]))
+    assert al.stats["anchored_pairs"] == 1, al.stats
+    assert len(res) == 1
+    r = res[0]
+    q = al.codes[0]
+    t = al.codes[1]
+    assert sum(n for n, op in r.cigar if op in "=XI") == q.size
+    assert sum(n for n, op in r.cigar if op in "=XD") == t.size
+    # the inverted block shows as a large I/D pair
+    assert max((n for n, op in r.cigar if op in "ID"), default=0) > 1_000
+
+    # end to end: golden gate + verifier battery
+    out = str(tmp_path / "long_inv.gfa")
+    sr = SeqRushTPU(seqs, Args(output=out, no_sort=True))
+    sr.align_and_unite()
+    g = sr.write_gfa()
+    assert g.comprehensive_verify() == []
