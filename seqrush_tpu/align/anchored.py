@@ -234,7 +234,7 @@ def dispatch_windows(al, jobs, pen) -> tuple[list, list]:
     ``out`` already holds the host-aligned items."""
     out = [None] * len(jobs)
     if not jobs:
-        return [], out
+        return [], [], out
     budget = al.cfg.wide_host_window_cells
     host_sel = []
     device_sel = []
@@ -260,33 +260,44 @@ def dispatch_windows(al, jobs, pen) -> tuple[list, list]:
                 out[j] = items
             al.stats["host_windows"] += len(host_sel)
     if not device_sel:
-        return [], out
+        return [], [], out
     pending = [
         (j, _initial_window_band(jobs[j][0], jobs[j][1])) for j in device_sel
     ]
-    return [
-        _dispatch_window_chunk(al, jobs, chunk, band, pen)
-        for chunk, band in _plan_chunks(al, jobs, pending)
-    ], out
+    planned = _plan_chunks(al, jobs, pending)
+    # dispatch at most one chunk eagerly (device work starts now); the
+    # rest stay planned — each in-flight chunk holds its [B, tmax, W]
+    # traceback on device, so depth is capped at 2 (collect_windows keeps
+    # one chunk ahead), matching the runner's own chunk pipeline
+    inflight = []
+    if planned:
+        chunk, band = planned.pop(0)
+        inflight.append(_dispatch_window_chunk(al, jobs, chunk, band, pen))
+    return inflight, planned, out
 
 
 def collect_windows(al, jobs, state, pen) -> list:
-    """Collect dispatched window chunks; escalation rounds (band
-    certificate failures) re-dispatch synchronously — rare.  Returns the
-    per-job CIGAR item lists."""
-    dispatched, out = state
-    rounds = 0
-    while dispatched:
-        rounds += 1
-        if rounds > 12:  # certificate escalation terminates at full band
-            raise RuntimeError("window escalation did not converge")
+    """Collect dispatched window chunks (dispatching the next planned
+    chunk before each collect — depth-2 pipeline, bounded device memory);
+    escalation rounds (band certificate failures) re-dispatch
+    synchronously — rare.  Returns the per-job CIGAR item lists."""
+    inflight, planned, out = state
+    generations = 0
+    while inflight or planned:
         nxt = []
-        for disp in dispatched:
-            _collect_window_chunk(al, jobs, disp, pen, out, nxt)
-        dispatched = [
-            _dispatch_window_chunk(al, jobs, chunk, band, pen)
-            for chunk, band in (_plan_chunks(al, jobs, nxt) if nxt else [])
-        ]
+        while inflight or planned:
+            if planned and len(inflight) < 2:
+                chunk, band = planned.pop(0)
+                inflight.append(
+                    _dispatch_window_chunk(al, jobs, chunk, band, pen)
+                )
+                continue
+            _collect_window_chunk(al, jobs, inflight.pop(0), pen, out, nxt)
+        if nxt:
+            generations += 1
+            if generations > 12:  # escalation terminates at full band
+                raise RuntimeError("window escalation did not converge")
+            planned = _plan_chunks(al, jobs, nxt)
     return out
 
 
