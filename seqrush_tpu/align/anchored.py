@@ -69,25 +69,81 @@ class WidePlan:
     parts: list = field(default_factory=list)
 
 
-def build_plan(al, job, pairs, pen, window_jobs: list) -> WidePlan | None:
+def chain_jobs(al, wide_jobs, pairs) -> list:
+    """Best-chain runs for every wide job in ONE batched C++ call
+    (chain_pairs, bit-identical to chain_anchors + chain_to_runs per job;
+    python fallback without a toolchain).  Returns a per-job list of
+    run-tuple lists (possibly empty)."""
+    anchors = []
+    for p, rc, _b, _f in wide_jobs:
+        qi, tj = pairs[p]
+        anchors.append(
+            anchors_mod.anchor_matches_from_minimizers(
+                al._minimizers(int(qi), rc),
+                al._minimizers(int(tj), False),
+                max_freq=al.cfg.frequency,
+                t_sorted=al._minimizers_sorted(int(tj), False),
+            )
+        )
+    try:
+        from ..native import chain_pairs_native
+
+        offs = np.zeros(len(anchors) + 1, np.int64)
+        for w, a in enumerate(anchors):
+            offs[w + 1] = offs[w] + a.shape[0]
+        if offs[-1]:
+            flat = np.concatenate([a for a in anchors if a.shape[0]], axis=0)
+            pid = np.repeat(np.arange(len(anchors), dtype=np.int64), np.diff(offs))
+            order = np.lexsort((flat[:, 1], flat[:, 0], pid))
+            flat = flat[order]
+        else:
+            flat = np.zeros((0, 2), np.int64)
+        out = chain_pairs_native(
+            flat[:, 0], flat[:, 1], offs, al.anchor_k,
+            max_gap=5000, max_skew=2000, max_chains=1, min_matched=0,
+        )
+    except (ImportError, OSError):
+        out = None
+    if out is None:  # no toolchain: per-job python/native-single path
+        runs_per_job = []
+        for a in anchors:
+            if a.shape[0] == 0:
+                runs_per_job.append([])
+                continue
+            chain = anchors_mod.chain_anchors(a)
+            runs_per_job.append(anchors_mod.chain_to_runs(chain, al.anchor_k))
+        return runs_per_job
+    chain_pair, chain_off, rq, rt, rl = out
+    runs_per_job = [[] for _ in wide_jobs]
+    co = chain_off.tolist()
+    rq_l, rt_l, rl_l = rq.tolist(), rt.tolist(), rl.tolist()
+    for c, w in enumerate(chain_pair.tolist()):
+        runs_per_job[w] = list(
+            zip(rq_l[co[c] : co[c + 1]], rt_l[co[c] : co[c + 1]], rl_l[co[c] : co[c + 1]])
+        )
+    return runs_per_job
+
+
+def build_plan(al, job, pairs, pen, window_jobs: list, runs=None) -> WidePlan | None:
     """Chain one wide job and split it into parts; window jobs are appended
     to the shared ``window_jobs`` list (batched across all plans).  Returns
     None when no usable chain exists (caller falls back to the full wide
-    route)."""
+    route).  ``runs`` (from chain_jobs) skips the per-job chain."""
     p, rc, band0, f32 = job
     qi, tj = pairs[p]
     q = al.rc_codes[qi] if rc else al.codes[qi]
     t = al.codes[tj]
-    a = anchors_mod.anchor_matches_from_minimizers(
-        al._minimizers(int(qi), rc),
-        al._minimizers(int(tj), False),
-        max_freq=al.cfg.frequency,
-        t_sorted=al._minimizers_sorted(int(tj), False),
-    )
-    if a.shape[0] == 0:
-        return None
-    chain = anchors_mod.chain_anchors(a)
-    runs = anchors_mod.chain_to_runs(chain, al.anchor_k)
+    if runs is None:
+        a = anchors_mod.anchor_matches_from_minimizers(
+            al._minimizers(int(qi), rc),
+            al._minimizers(int(tj), False),
+            max_freq=al.cfg.frequency,
+            t_sorted=al._minimizers_sorted(int(tj), False),
+        )
+        if a.shape[0] == 0:
+            return None
+        chain = anchors_mod.chain_anchors(a)
+        runs = anchors_mod.chain_to_runs(chain, al.anchor_k)
     if not runs:
         return None
     matched = sum(n for _q, _t, n in runs)

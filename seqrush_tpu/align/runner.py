@@ -631,6 +631,22 @@ class WfaAligner:
         attempts: dict[tuple[int, bool], AlignmentResult | None] = {}
         queue = jobs
         while queue:
+            # wide jobs divert to the anchored piecewise route FIRST: DP
+            # only where the pair actually diverges, instead of a
+            # monster-band serial program (align/anchored.py).  Checked
+            # before band-sharding — a divergent pair whose wide traceback
+            # would bust the budget is far cheaper piecewise than
+            # lane-sharded; chainless fallbacks re-enter the queue and
+            # band-shard on the next round.
+            anchored_jobs: list = []
+            if self.cfg.wide_route == "anchored":
+                rest = []
+                for job in queue:
+                    if self._wants_anchored(job, pairs):
+                        anchored_jobs.append(job)
+                    else:
+                        rest.append(job)
+                queue = rest
             if self.cfg.mesh is not None:
                 # sequence parallelism: a pair whose traceback footprint
                 # exceeds one chip's budget routes through the lane-sharded
@@ -645,18 +661,6 @@ class WfaAligner:
                     else:
                         local.append(job)
                 queue = local
-            # wide jobs divert to the anchored piecewise route: DP only
-            # where the pair actually diverges, instead of a monster-band
-            # serial program (align/anchored.py)
-            anchored_jobs: list = []
-            if self.cfg.wide_route == "anchored":
-                rest = []
-                for job in queue:
-                    if self._wants_anchored(job, pairs):
-                        anchored_jobs.append(job)
-                    else:
-                        rest.append(job)
-                queue = rest
             chunks = self._make_nw_chunks(queue, pairs)
             chunks = self._plan_band_tiling(chunks)
             queue = []
@@ -784,9 +788,10 @@ class WfaAligner:
         from . import anchored
 
         plans, fallbacks, window_jobs = [], [], []
-        for job in wide_jobs:
+        runs_per_job = anchored.chain_jobs(self, wide_jobs, pairs)
+        for job, runs in zip(wide_jobs, runs_per_job):
             self._anchored_tried.add((job[0], job[1]))
-            plan = anchored.build_plan(self, job, pairs, pen, window_jobs)
+            plan = anchored.build_plan(self, job, pairs, pen, window_jobs, runs=runs)
             if plan is None:
                 self.stats["anchored_fallbacks"] += 1
                 fallbacks.append(job)
