@@ -96,17 +96,29 @@ def ygs_sort(
     use_sgd: bool = True,
     use_groom: bool = True,
     use_topo: bool = True,
+    timings: dict | None = None,
 ) -> None:
+    import time as _time
+
+    def _mark(d, key, t0):
+        if d is not None:
+            d[key] = d.get(key, 0.0) + _time.time() - t0
+
     if params is None:
         params = YgsParams.from_graph(graph)
     if use_sgd:
+        t0 = _time.time()
         ordering = path_sgd_sort(
             graph, params.to_sgd(), refine_rounds=params.refine_rounds
         )
         graph.apply_ordering(ordering)
+        _mark(timings, "sgd", t0)
     if use_groom:
+        t0 = _time.time()
         apply_grooming(graph, groom_order(graph))
+        _mark(timings, "groom", t0)
     if use_topo:
+        t0 = _time.time()
         if params.topo_mode == "stable":
             graph.apply_ordering(
                 sgd_stable_topological_order(graph, params.stall_bound)
@@ -124,6 +136,7 @@ def ygs_sort(
                 _polish_by_rank_refinement(graph, params)
         else:
             graph.apply_ordering(exact_odgi_topological_order(graph, True, False))
+        _mark(timings, "final_order", t0)
 
 
 def _polish_by_rank_refinement(

@@ -490,13 +490,19 @@ class SeqRushTPU:
             if args.sgd_eta_max is not None:
                 params.eta_max = args.sgd_eta_max
             with self.timer.phase("layout"):
+                sub: dict[str, float] = {}
                 ygs_sort(
                     graph,
                     params,
                     use_sgd=not args.skip_sgd,
                     use_groom=not args.skip_groom,
                     use_topo=not args.skip_topo,
+                    timings=sub,
                 )
+                for k, v in sub.items():
+                    self.timer.phases[f"layout_{k}"] = (
+                        self.timer.phases.get(f"layout_{k}", 0.0) + v
+                    )
 
         with self.timer.phase("validate"):
             errors = self.validate_paths_match_sequences(graph)
