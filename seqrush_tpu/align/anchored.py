@@ -232,13 +232,6 @@ def _np2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
-def align_windows(al, jobs, pen) -> list:
-    """Exact batched alignment of all window jobs (host DP + device
-    dispatch + collect in one call — see dispatch_windows/collect_windows
-    for the split the runner uses to overlap the mega chunk)."""
-    return collect_windows(al, jobs, dispatch_windows(al, jobs, pen), pen)
-
-
 def _plan_chunks(al, jobs, pending):
     """Cut (job, band) entries into dispatch chunks: band-bucket
     boundaries, trip-count jumps (a chunk's serial steps are its max
