@@ -202,3 +202,28 @@ def test_max_excursion_and_cost_helpers():
     pen = Penalties(5, 8, 2, 24, 1)
     # 2 mismatches + I3 (min(8+6, 24+3)=14) + D5 (min(8+10,24+5)=18)
     assert anchored.cigar_cost(items, pen) == 10 + 14 + 18
+
+
+def test_chain_jobs_native_matches_python_fallback(family, monkeypatch):
+    """chain_jobs' one-call C++ path and its no-toolchain python fallback
+    must produce identical per-job runs."""
+    from seqrush_tpu.align import anchored
+
+    seqs, pairs, _oracle = family
+    al = WfaAligner(seqs, RunnerConfig(scores=SCORES))
+    n = len(seqs)
+    jobs = [(p, False, 1279, True) for p in range(len(pairs))]
+    native_runs = anchored.chain_jobs(al, jobs, pairs)
+
+    import seqrush_tpu.align.anchored as anch_mod
+
+    def no_native(*a, **kw):
+        raise ImportError("forced fallback")
+
+    monkeypatch.setattr(
+        "seqrush_tpu.native.chain_pairs_native", no_native, raising=True
+    )
+    py_runs = anchored.chain_jobs(al, jobs, pairs)
+    assert len(native_runs) == len(py_runs)
+    for a, b in zip(native_runs, py_runs):
+        assert list(map(tuple, a)) == list(map(tuple, b))
