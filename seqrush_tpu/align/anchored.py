@@ -100,7 +100,9 @@ def chain_jobs(al, wide_jobs, pairs) -> list:
             flat = np.zeros((0, 2), np.int64)
         out = chain_pairs_native(
             flat[:, 0], flat[:, 1], offs, al.anchor_k,
-            max_gap=5000, max_skew=2000, max_chains=1, min_matched=0,
+            max_gap=anchors_mod.DEFAULT_MAX_GAP,
+            max_skew=anchors_mod.DEFAULT_MAX_SKEW,
+            max_chains=1, min_matched=0,
         )
     except (ImportError, OSError):
         out = None

@@ -219,7 +219,9 @@ class SweepAligner(WfaAligner):
                 flat = np.zeros((0, 2), np.int64)
             native_out = chain_pairs_native(
                 flat[:, 0], flat[:, 1], offs, self.k,
-                max_gap=5000, max_skew=2000, max_chains=16, min_matched=50,
+                max_gap=anchors_mod.DEFAULT_MAX_GAP,
+                max_skew=anchors_mod.DEFAULT_MAX_SKEW,
+                max_chains=16, min_matched=50,
             )
         except (ImportError, OSError):  # toolchain absent — NOT a bug mask
             native_out = None

@@ -15,6 +15,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# colinear-chaining defaults (minimap2-style): shared by chain_anchors,
+# the batched C++ chain_pairs callers, and the anchored wide route
+DEFAULT_MAX_GAP = 5000
+DEFAULT_MAX_SKEW = 2000
+
 
 def packed_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(positions, packed int64 values) of all ACGT-only k-mers."""
@@ -116,7 +121,8 @@ def anchor_matches_from_minimizers(
 
 
 def chain_anchors(
-    anchors: np.ndarray, k: int = 15, max_gap: int = 5000, max_skew: int = 2000
+    anchors: np.ndarray, k: int = 15, max_gap: int = DEFAULT_MAX_GAP,
+    max_skew: int = DEFAULT_MAX_SKEW,
 ) -> np.ndarray:
     """Best colinear chain via the classic anchor-chaining DP.
 
@@ -192,8 +198,8 @@ def chain_anchors_multi(
     k: int = 15,
     max_chains: int = 16,
     min_matched: int = 50,
-    max_gap: int = 5000,
-    max_skew: int = 2000,
+    max_gap: int = DEFAULT_MAX_GAP,
+    max_skew: int = DEFAULT_MAX_SKEW,
 ) -> list[np.ndarray]:
     """Extract up to ``max_chains`` disjoint colinear chains, best first.
 
