@@ -227,3 +227,29 @@ def test_chain_jobs_native_matches_python_fallback(family, monkeypatch):
     assert len(native_runs) == len(py_runs)
     for a, b in zip(native_runs, py_runs):
         assert list(map(tuple, a)) == list(map(tuple, b))
+
+
+def test_paf_roundtrip_with_wide_pairs(tmp_path):
+    """PAF written from anchored wide-pair alignments (big I/D runs) must
+    replay to a byte-identical graph — the checkpoint path carries the
+    route's gap-heavy CIGARs faithfully."""
+    from seqrush_tpu.config import Args
+    from seqrush_tpu.pipeline import SeqRushTPU
+
+    fam = synth_family()
+    paf = str(tmp_path / "aln.paf")
+    out1 = str(tmp_path / "direct.gfa")
+    sr = SeqRushTPU(
+        make_sequence_set(fam),
+        Args(output=out1, output_alignments=paf, no_sort=True),
+    )
+    sr.align_and_unite()
+    sr.write_gfa()
+
+    out2 = str(tmp_path / "replayed.gfa")
+    sr2 = SeqRushTPU(
+        make_sequence_set(fam), Args(output=out2, paf=paf, no_sort=True)
+    )
+    sr2.align_and_unite()
+    sr2.write_gfa()
+    assert open(out1).read() == open(out2).read()
