@@ -206,3 +206,137 @@ def sgd_stable_topological_order(
         else:
             emit(n0)  # cycle: break at the lowest rank
     return order
+
+
+# -----------------------------------------------------------------------------
+# Legacy node-level analysis utilities (reference graph_ops.rs)
+# -----------------------------------------------------------------------------
+
+
+def _node_adjacency(graph: BidirectedGraph) -> dict[int, list[int]]:
+    """Node-level directed adjacency (orientation collapsed): stored edge
+    (from_handle, to_handle) contributes from>>1 -> to>>1, neighbor lists
+    sorted for determinism (graph_ops.rs builds the same unidirected view
+    for its SCC/topo analyses, :437-452)."""
+    adj: dict[int, list[int]] = {nid: [] for nid in graph.nodes}
+    for f, t in graph.edges:
+        adj[f >> 1].append(t >> 1)
+    for nid in adj:
+        adj[nid] = sorted(set(adj[nid]))
+    return adj
+
+
+def strongly_connected_components(graph: BidirectedGraph) -> list[list[int]]:
+    """Tarjan SCCs of the node-level view — the reference's legacy cycle
+    diagnostic (/root/reference/src/graph_ops.rs:347-430: deterministic
+    sorted root order, components emitted in completion order).  Iterative
+    (no recursion limit); singleton components are acyclic nodes, larger
+    ones mark cycles (tandem repeats / unite corruption)."""
+    adj = _node_adjacency(graph)
+    index: dict[int, int] = {}
+    lowlink: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+    counter = 0
+
+    for root in sorted(adj):
+        if root in index:
+            continue
+        # iterative strongconnect: (node, neighbor cursor) work stack
+        work = [(root, 0)]
+        while work:
+            v, ci = work[-1]
+            if ci == 0:
+                index[v] = lowlink[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            neighbors = adj[v]
+            while ci < len(neighbors):
+                w = neighbors[ci]
+                ci += 1
+                if w not in index:
+                    work[-1] = (v, ci)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    lowlink[v] = min(lowlink[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                lowlink[parent] = min(lowlink[parent], lowlink[v])
+            if lowlink[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+    return sccs
+
+
+def cycle_tolerant_topological_order(graph: BidirectedGraph) -> list[int]:
+    """The legacy multi-pass node-level sort (/root/reference/src/
+    graph_ops.rs:431-517): Kahn's algorithm with ready nodes biased by
+    their mean path position, then any cycle leftovers appended
+    deterministically via DFS from the sorted remaining nodes.  Returns
+    every node id exactly once (superseded for layout by the exact-ODGI
+    handle-level sort; kept as the diagnostic/analysis utility)."""
+    adj = _node_adjacency(graph)
+    indeg: dict[int, int] = {nid: 0 for nid in adj}
+    for nid, outs in adj.items():
+        for w in outs:
+            indeg[w] += 1
+    # mean position of each node over all path visits
+    pos_sum: dict[int, int] = {}
+    pos_cnt: dict[int, int] = {}
+    for path in graph.paths:
+        for p, h in enumerate(path.steps):
+            n = int(h) >> 1
+            pos_sum[n] = pos_sum.get(n, 0) + p
+            pos_cnt[n] = pos_cnt.get(n, 0) + 1
+
+    def mean_pos(n: int) -> int:
+        c = pos_cnt.get(n)
+        return pos_sum[n] // c if c else (1 << 62)
+
+    order: list[int] = []
+    visited: set[int] = set()
+    ready: list[tuple[int, int]] = []  # (mean_pos, nid) min-heap
+    for nid in sorted(adj):
+        if indeg[nid] == 0:
+            heapq.heappush(ready, (mean_pos(nid), nid))
+    while ready:
+        _mp, n = heapq.heappop(ready)
+        if n in visited:
+            continue
+        order.append(n)
+        visited.add(n)
+        for w in adj[n]:
+            indeg[w] -= 1
+            if indeg[w] == 0 and w not in visited:
+                heapq.heappush(ready, (mean_pos(w), w))
+    # cycle leftovers: DFS from sorted remaining roots (graph_ops.rs
+    # dfs_visit over `remaining.sort()`)
+    remaining = sorted(n for n in adj if n not in visited)
+    for root in remaining:
+        if root in visited:
+            continue
+        work = [root]
+        while work:
+            n = work.pop()
+            if n in visited:
+                continue
+            visited.add(n)
+            order.append(n)
+            for w in reversed(adj[n]):
+                if w not in visited:
+                    work.append(w)
+    return order

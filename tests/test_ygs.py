@@ -188,3 +188,43 @@ def test_ygs_e2e_pipeline():
     # node ids sequential from 1 after Ygs
     ids = sorted(graph.nodes)
     assert ids == list(range(1, len(ids) + 1))
+
+
+def test_legacy_scc_and_cycle_tolerant_order():
+    """Legacy node-level analysis utilities (reference graph_ops.rs
+    :347-430 Tarjan SCCs, :431-517 cycle-tolerant multi-pass sort):
+    DAGs give singleton SCCs and a valid topological order; cycles are
+    detected as multi-node components and still ordered exactly once."""
+    import numpy as np
+
+    from seqrush_tpu.graph.bigraph import BidirectedGraph
+    from seqrush_tpu.graph.toposort import (
+        cycle_tolerant_topological_order,
+        strongly_connected_components,
+    )
+
+    g = BidirectedGraph()
+    for n in range(1, 6):
+        g.add_node(n, np.frombuffer(b"A", np.uint8))
+    for f, t in [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)]:
+        g.add_edge(f << 1, t << 1)
+    g.build_path("p", [(n, False) for n in [1, 2, 3, 4]])
+    assert sorted(len(c) for c in strongly_connected_components(g)) == [1] * 5
+    order = cycle_tolerant_topological_order(g)
+    assert sorted(order) == [1, 2, 3, 4, 5]
+    ridx = {n: i for i, n in enumerate(order)}
+    assert all(ridx[f] < ridx[t] for f, t in [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)])
+
+    g2 = BidirectedGraph()
+    for n in range(1, 5):
+        g2.add_node(n, np.frombuffer(b"C", np.uint8))
+    for f, t in [(1, 2), (2, 3), (3, 2), (3, 4)]:
+        g2.add_edge(f << 1, t << 1)
+    g2.build_path("p", [(1, False), (2, False), (3, False), (4, False)])
+    comps = sorted(sorted(c) for c in strongly_connected_components(g2))
+    assert [2, 3] in comps and [1] in comps and [4] in comps
+    assert sorted(cycle_tolerant_topological_order(g2)) == [1, 2, 3, 4]
+
+    # determinism
+    assert strongly_connected_components(g2) == strongly_connected_components(g2)
+    assert cycle_tolerant_topological_order(g2) == cycle_tolerant_topological_order(g2)
