@@ -67,6 +67,14 @@ class PathSGDParams:
     # 'id' = reference-faithful cumulative length in node-id order
     # (path_sgd.rs:229-249)
     init: str = "path"
+    # pad every _sgd_run array input (steps, paths, nodes, harmonic tables)
+    # up to a power-of-two ladder so one compiled XLA program serves many
+    # graph shapes; real sizes ride in as traced scalars and the sampling
+    # only ever draws real indices, so results are bit-identical to the
+    # exact-shape program (tests/test_layout.py parity test).  Without this
+    # every previously-unseen FASTA pays a fresh SGD compile (~1 s CPU,
+    # minutes over a tunneled TPU).
+    bucket: bool = True
 
 
 @dataclass
@@ -135,10 +143,16 @@ def _sgd_run(
     etas,
     first_cooling_iter,
     seed,
+    n_steps,
+    space_real,
     n_sub: int,
     u_per_sub: int,
 ):
-    S = step_pos.shape[0]
+    # n_steps / space_real are the REAL sizes; array shapes may be padded up
+    # to a bucket ladder (path_linear_sgd).  Sampling draws only real step
+    # indices and jumps are clipped to the real space, so padded entries are
+    # never read and results match the exact-shape program bit for bit.
+    S = n_steps
 
     def zipf_sample(key, H, jump_space):
         """Inverse-CDF Zipfian over 1..jump_space (exact partial sums)."""
@@ -164,8 +178,8 @@ def _sgd_run(
         go_back = (rank_a > 0) & (
             (jax.random.randint(k3, (u_per_sub,), 0, 2) == 1) | (rank_a == cnt - 1)
         )
-        space_back = jnp.minimum(Hmain.shape[0] - 1, rank_a)
-        space_fwd = jnp.minimum(Hmain.shape[0] - 1, cnt - rank_a - 1)
+        space_back = jnp.minimum(space_real, rank_a)
+        space_fwd = jnp.minimum(space_real, cnt - rank_a - 1)
         jump_space = jnp.where(go_back, space_back, space_fwd).astype(jnp.int32)
         jump_space = jnp.maximum(jump_space, 1)
         z = zipf_sample(k4, H, jump_space)
@@ -256,42 +270,90 @@ def path_linear_sgd(graph: BidirectedGraph, params: PathSGDParams) -> dict[int, 
     )
     first_cooling = int(np.floor(params.cooling_start * params.iter_max))
 
-    # exact partial harmonic sums H[i] = sum_{1..i} i^-theta (H[0] = 0)
-    i_arr = np.arange(1, space + 1, dtype=np.float64)
+    # Shape bucketing: pad every array input to a power-of-two ladder so one
+    # compiled _sgd_run program serves many graph shapes (each distinct shape
+    # set is a fresh XLA compile — ~1 s on CPU, minutes over a tunneled TPU).
+    # Padded steps/paths/nodes are never sampled (n_steps bounds the draw)
+    # and the harmonic tables simply continue their cumsum into the padding
+    # (jump_space is clipped to the real space), so results are bit-identical
+    # to the exact-shape program.
+    N = len(node_ids)
+    S = index.total_steps
+    P = index.path_count.size
+    if params.bucket:
+        # two tiers + a pow2 ladder above: a "small" tier for toy/test-scale
+        # graphs (cheap ticks) and a "gene" tier sized so every
+        # HLA-gene-scale graph (measured: N<=2k, S<=11k, P<=12, space<=4kb)
+        # lands in ONE bucket — a second distinct gene in the same process
+        # lays out with zero new compiles; larger inputs ladder up by
+        # powers of two
+        N_pad = _tier(N, 256, 4096)
+        S_pad = _tier(S, 1024, 16384)
+        P_pad = _bucket_pow2(P, 16)
+        space_pad = _tier(space + 1, 1024, 8192) - 1
+    else:
+        N_pad, S_pad, P_pad, space_pad = N, S, P, space
+
+    # exact partial harmonic sums H[i] = sum_{1..i} i^-theta (H[0] = 0),
+    # continued through the padded tail (entries past `space` unreachable)
+    i_arr = np.arange(1, space_pad + 1, dtype=np.float64)
     Hmain = np.concatenate([[0.0], np.cumsum(i_arr ** (-params.theta))]).astype(np.float32)
     Hcool = np.concatenate([[0.0], np.cumsum(i_arr ** (-0.001))]).astype(np.float32)
+
+    def padto(a: np.ndarray, n: int) -> np.ndarray:
+        if a.shape[0] == n:
+            return a
+        out = np.zeros((n,), dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
 
     n_sub = max(1, params.n_sub)
     u_per_sub = max(1, -(-mtu // n_sub))
     # quantize the tick width up to a small shape ladder: min_term_updates
     # is a MINIMUM term budget in the reference (the checker thread advances
     # the iteration once at least that many updates ran, path_sgd.rs:311-359),
-    # so rounding up only adds updates — and one compiled _sgd_run shape then
-    # serves many graph sizes (each distinct u_per_sub is a separate XLA
-    # compile; over the tunneled TPU a compile costs minutes)
+    # so rounding up only adds updates.  Tie the floor to the step-array
+    # bucket so the tick width doesn't add a second shape dimension: a graph
+    # whose steps fit the S_pad bucket always runs S_pad/n_sub-wide ticks.
     u_per_sub = 1 << max(0, (u_per_sub - 1).bit_length())
+    if params.bucket:
+        u_per_sub = max(u_per_sub, S_pad // n_sub)
 
     from ..ops.unionfind import compute_device
 
     with compute_device():
         x = _sgd_run(
-        jnp.asarray(x0),
-        jnp.asarray(node_of_step),
-        jnp.asarray(index.step_pos),
-        jnp.asarray(index.step_path),
-        jnp.asarray(index.step_rank),
-        jnp.asarray(index.path_first),
-        jnp.asarray(index.path_count),
-        jnp.asarray(Hmain),
-        jnp.asarray(Hcool),
-        jnp.asarray(etas.astype(np.float32)),
-        jnp.asarray(first_cooling, dtype=jnp.int32),
-        params.seed,
+            jnp.asarray(padto(x0, N_pad)),
+            jnp.asarray(padto(node_of_step, S_pad)),
+            jnp.asarray(padto(index.step_pos, S_pad)),
+            jnp.asarray(padto(index.step_path, S_pad)),
+            jnp.asarray(padto(index.step_rank, S_pad)),
+            jnp.asarray(padto(index.path_first, P_pad)),
+            jnp.asarray(padto(index.path_count, P_pad)),
+            jnp.asarray(Hmain),
+            jnp.asarray(Hcool),
+            jnp.asarray(etas.astype(np.float32)),
+            jnp.asarray(first_cooling, dtype=jnp.int32),
+            params.seed,
+            jnp.asarray(S, dtype=jnp.int32),
+            jnp.asarray(space, dtype=jnp.int32),
             n_sub=n_sub,
             u_per_sub=int(u_per_sub),
         )
-    x = np.asarray(x)
+    x = np.asarray(x)[:N]
     return {nid: float(x[k]) for k, nid in enumerate(node_ids)}
+
+
+def _bucket_pow2(n: int, minimum: int = 16) -> int:
+    """Next power of two >= n (floor `minimum`) — the shape ladder."""
+    return max(minimum, 1 << max(0, int(n) - 1).bit_length())
+
+
+def _tier(n: int, small: int, big: int) -> int:
+    """Two-tier shape ladder: sizes <= `small` share the small bucket,
+    sizes <= `big` share the big bucket, larger sizes go pow2."""
+    p = _bucket_pow2(n, small)
+    return p if p <= small else max(p, big)
 
 
 def refine_positions(
