@@ -48,6 +48,7 @@ OVERLAP_THRESHOLD = 0.95  # sweepga FilterConfig.overlap_threshold
 # default RUN_MAX=128 token rows would cost ~4 MB per 8k-window chunk.
 # Overflowing rows (rare) retry via the opcode emission.
 GAP_RUN_MAX = 24
+_OP_CHARS_SWEEP = ("=", "X", "I", "D")  # window_dp/stitch_records encoding
 
 
 @dataclass
@@ -169,6 +170,9 @@ class SweepAligner(WfaAligner):
         self.anchor_w = w
         self.stats.setdefault("chains", 0)
         self.stats.setdefault("filtered_1to1", 0)
+        # tests force the reference Python stitch to fuzz-pin the native
+        # stitch's bit-equality
+        self.force_python_stitch = False
 
     def align_pairs(self, pairs: np.ndarray) -> list[AlignmentResult]:
         t0 = time.time()
@@ -254,10 +258,44 @@ class SweepAligner(WfaAligner):
         survivors = filter_one_to_one(mappings)
         self.stats["filtered_1to1"] += len(mappings) - len(survivors)
 
-        # stage 3: batched gap fill (runs-emission fetch) + stitch
-        gap_cigars = self._fill_gaps(survivors, pen)
+        # stage 3: batched gap fill (host C++ DP / runs-emission fetch) +
+        # stitch — native record assembly when the toolchain is present
+        # (stitch_records emits flat run-length arrays in one call;
+        # bit-identical to the Python stitch, fuzz-pinned), Python loop
+        # otherwise
+        stitched = None
+        if not self.force_python_stitch:
+            stitched = self._stitch_all_native(survivors, pen)
+        if stitched is None:
+            gap_cigars = self._fill_gaps(survivors, pen)
+            stitched = self._stitch_python(survivors, gap_cigars, pen)
+        items_per, scores = stitched
         results = []
         dropped_pairs = {int(p) for p in range(len(pairs))}
+        for mi, m in enumerate(survivors):
+            dropped_pairs.discard(m.pair_idx)
+            results.append(
+                AlignmentResult(
+                    m.qi,
+                    m.tj,
+                    m.is_rev,
+                    score=int(scores[mi]),
+                    cigar=items_per[mi],
+                    query_start=m.q_start,
+                    target_start=m.t_start,
+                )
+            )
+        self.stats["dropped"] += len(dropped_pairs)
+        self.stats["alignments"] += len(results)
+        self.stats["wall_s"] += time.time() - t0
+        return results
+
+    def _stitch_python(self, survivors, gap_cigars, pen: Penalties):
+        """Reference stitch: per-record Python assembly over the gap-CIGAR
+        dict.  The semantics spec for the native stitch (fuzz bit-equality
+        in tests/test_sweep.py)."""
+        items_per: list[list[tuple[int, str]]] = []
+        scores: list[int] = []
         for mi, m in enumerate(survivors):
             items: list[tuple[int, str]] = []
 
@@ -289,44 +327,132 @@ class SweepAligner(WfaAligner):
                         if t1_ - gt0 > 0:
                             tmp.append((t1_ - gt0, "D"))
                         extend(tmp)
-            dropped_pairs.discard(m.pair_idx)
-            results.append(
-                AlignmentResult(
-                    m.qi,
-                    m.tj,
-                    m.is_rev,
-                    score=_cigar_cost(items, pen),
-                    cigar=items,
-                    query_start=m.q_start,
-                    target_start=m.t_start,
-                )
+            items_per.append(items)
+            scores.append(_cigar_cost(items, pen))
+        return items_per, scores
+
+    def _stitch_all_native(self, survivors, pen: Penalties):
+        """Gap fill with flat-array host DP results + one stitch_records
+        call; returns (items lists, scores) or None when the native
+        library is unavailable (the Python path then runs instead)."""
+        from ..native import get_lib, stitch_records_native, window_dp_native
+
+        if get_lib() is None:
+            return None
+        if not survivors:
+            return [], []
+        rec_off = np.zeros(len(survivors) + 1, np.int64)
+        for i, m in enumerate(survivors):
+            rec_off[i + 1] = rec_off[i] + m.runs.shape[0]
+
+        gap_jobs = self._gap_jobs(survivors)
+        budget = self.cfg.wide_host_window_cells
+        host = [
+            j for j in gap_jobs
+            if budget and (j[2].size + 1) * (j[3].size + 1) <= budget
+        ]
+        dev = [
+            j for j in gap_jobs
+            if not (budget and (j[2].size + 1) * (j[3].size + 1) <= budget)
+        ]
+        # host windows: C++ DP, results stay flat
+        if host:
+            res = window_dp_native(
+                [j[2] for j in host], [j[3] for j in host], pen,
+                threads=self.cfg.threads, flat=True,
             )
-        self.stats["dropped"] += len(dropped_pairs)
-        self.stats["alignments"] += len(results)
-        self.stats["wall_s"] += time.time() - t0
-        return results
+            if res is None:
+                return None
+            _hs, ops_h, lens_h, counts_h, item_offs_h = res
+            self.stats["host_windows"] += len(host)
+        else:
+            ops_h = np.zeros(0, np.uint8)
+            lens_h = np.zeros(0, np.int32)
+            counts_h = np.zeros(0, np.int64)
+            item_offs_h = np.zeros(1, np.int64)
+        ids_h = np.array(
+            [rec_off[mi] + g for (mi, g, _q, _t) in host], dtype=np.int64
+        )
+        # device windows (over-budget, rare): dict of item lists via the
+        # chunked dispatch helpers, then flattened
+        ids_d = np.zeros(0, np.int64)
+        counts_d = np.zeros(0, np.int64)
+        starts_d = np.zeros(0, np.int64)
+        ops_d = np.zeros(0, np.uint8)
+        lens_d = np.zeros(0, np.int32)
+        if dev:
+            dev_cigars: dict[tuple[int, int], list[tuple[int, str]]] = {}
+            dev.sort(key=lambda j: (max(j[2].size, j[3].size), j[2].size))
+            CHUNK = 8192
+            for lo in range(0, len(dev), CHUNK):
+                self._fill_gap_chunk(dev[lo : lo + CHUNK], pen, dev_cigars)
+            op_code = {"=": 0, "X": 1, "I": 2, "D": 3}
+            idl, cnl, opl, lnl = [], [], [], []
+            for (mi, g), items in dev_cigars.items():
+                idl.append(int(rec_off[mi]) + g)
+                cnl.append(len(items))
+                for n, c in items:
+                    opl.append(op_code[c])
+                    lnl.append(n)
+            ids_d = np.array(idl, dtype=np.int64)
+            counts_d = np.array(cnl, dtype=np.int64)
+            starts_d = np.zeros(ids_d.size, np.int64)
+            if ids_d.size:
+                starts_d[1:] = np.cumsum(counts_d)[:-1]
+            ops_d = np.array(opl, dtype=np.uint8)
+            lens_d = np.array(lnl, dtype=np.int32)
 
-    def _fill_gaps(self, survivors: list[_Mapping], pen: Penalties):
-        """Batched exact alignment of every inter-anchor gap window.
+        # merge both sources into one id-sorted flat gap table
+        all_ids = np.concatenate([ids_h, ids_d])
+        all_counts = np.concatenate([counts_h, counts_d])
+        all_starts = np.concatenate(
+            [item_offs_h[:-1][: ids_h.size], starts_d + ops_h.size]
+        )
+        ops_all = np.concatenate([ops_h, ops_d])
+        lens_all = np.concatenate([lens_h, lens_d])
+        order = np.argsort(all_ids, kind="stable")
+        sel_counts = all_counts[order]
+        sel_starts = all_starts[order]
+        total = int(sel_counts.sum())
+        if total:
+            flat_idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(sel_counts) - sel_counts, sel_counts)
+                + np.repeat(sel_starts, sel_counts)
+            )
+            gap_ops = ops_all[flat_idx]
+            gap_lens = lens_all[flat_idx]
+        else:
+            gap_ops = np.zeros(0, np.uint8)
+            gap_lens = np.zeros(0, np.int32)
+        gap_off = np.zeros(order.size + 1, np.int64)
+        gap_off[1:] = np.cumsum(sel_counts)
+        gap_ids = all_ids[order]
 
-        Fetches run-length tokens ([B, RUN_MAX] int32) like the main
-        runner's emit='runs' path — the packed [B, tmax, W] traceback
-        tensor this replaces was the exact slow fetch the round-2 runner
-        work eliminated (VERDICT r2 weak #3).  Pairs whose walk overflows
-        RUN_MAX retry via the opcode emission."""
-        gap_cigars: dict[tuple[int, int], list[tuple[int, str]]] = {}
-        gap_jobs = []  # (mapping_idx, gap_idx, q_window, t_window)
-        # equal-length windows whose ACTUAL mismatch cost is <= 2*min gap
-        # cost are provably all-diagonal (any path leaving the diagonal
-        # needs an I-run AND a D-run) — SNP gaps, the vast majority on
-        # near-identical inputs, resolve with zero device work, batched:
-        # one flat base comparison + one RLE across every fast window
-        # (per-window resolve_matches calls were the backend's host
-        # hot spot at ~30k windows per all-pairs run)
-        # classify gaps vectorized per record; every DP-needing window
-        # becomes a job (the host C++ DP resolves the small ones — it
-        # tie-prefers the diagonal, so provably-diagonal SNP windows come
-        # back identical to the old host fast path, and exactly for free)
+        runs_flat = (
+            np.concatenate([m.runs for m in survivors])
+            if survivors
+            else np.zeros((0, 3), np.int64)
+        )
+        out = stitch_records_native(
+            runs_flat[:, 0], runs_flat[:, 1], runs_flat[:, 2], rec_off,
+            gap_ops, gap_lens, gap_off, gap_ids, pen,
+        )
+        if out is None:
+            return None
+        o_ops, o_lens, o_off, o_scores = out
+        chars = np.take(np.array(_OP_CHARS_SWEEP), o_ops)
+        flat_pairs = list(zip(o_lens.tolist(), chars.tolist()))
+        bounds = o_off.tolist()
+        items_per = [
+            flat_pairs[a:b] for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        return items_per, o_scores.tolist()
+
+    def _gap_jobs(self, survivors):
+        """(mapping_idx, gap_idx, q_window, t_window) for every inter-run
+        gap that needs alignment (dq>0 or dt>0)."""
+        gap_jobs = []
         for mi, m in enumerate(survivors):
             q = self.rc_codes[m.qi] if m.is_rev else self.codes[m.qi]
             t = self.codes[m.tj]
@@ -340,6 +466,22 @@ class SweepAligner(WfaAligner):
                 gap_jobs.append(
                     (mi, g, q[a : a + int(dq[g])], t[b : b + int(dt[g])])
                 )
+        return gap_jobs
+
+    def _fill_gaps(self, survivors: list[_Mapping], pen: Penalties):
+        """Batched exact alignment of every inter-anchor gap window.
+
+        Fetches run-length tokens ([B, RUN_MAX] int32) like the main
+        runner's emit='runs' path — the packed [B, tmax, W] traceback
+        tensor this replaces was the exact slow fetch the round-2 runner
+        work eliminated (VERDICT r2 weak #3).  Pairs whose walk overflows
+        RUN_MAX retry via the opcode emission."""
+        gap_cigars: dict[tuple[int, int], list[tuple[int, str]]] = {}
+        # every DP-needing window becomes a job (the host C++ DP resolves
+        # the small ones — it tie-prefers the diagonal, so provably-diagonal
+        # SNP windows come back identical to the old host fast path, and
+        # exactly for free)
+        gap_jobs = self._gap_jobs(survivors)
         if not gap_jobs:
             return gap_cigars
         # indel-bearing windows: host C++ DP for everything under the cell

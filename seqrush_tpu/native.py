@@ -138,6 +138,18 @@ def get_lib():
             c_i64p,
         ]
         lib.window_dp.restype = ctypes.c_int64
+        lib.stitch_records.argtypes = [
+            c_i64p, c_i64p, c_i64p, c_i64p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            c_i64p, c_i64p,
+            ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            c_i64p, c_i64p,
+        ]
+        lib.stitch_records.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -361,6 +373,7 @@ def window_dp_native(
     ts: list[np.ndarray],
     pen,
     threads: int = 8,
+    flat: bool = False,
 ):
     """Batched exact two-piece-affine window DP on the host (C++, threaded).
 
@@ -374,13 +387,25 @@ def window_dp_native(
     row-major/fold kernels).
 
     Returns (scores [n] int64, items list of run-length lists) or None
-    when the native library is unavailable.
+    when the native library is unavailable.  With ``flat=True`` the items
+    stay as flat arrays — (scores, ops [uint8], lens [int32], counts [n],
+    item_offs [n+1]) — for consumers that feed them straight back into
+    native code (stitch_records_native) without materializing Python
+    tuples.
     """
     lib = get_lib()
     if lib is None:
         return None
     n = len(qs)
     if n == 0:
+        if flat:
+            return (
+                np.zeros(0, np.int64),
+                np.zeros(0, np.uint8),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int64),
+                np.zeros(1, np.int64),
+            )
         return np.zeros(0, np.int64), []
     qoffs = np.zeros(n + 1, np.int64)
     toffs = np.zeros(n + 1, np.int64)
@@ -413,6 +438,8 @@ def window_dp_native(
         threads,
         i32p(scores), i64p(item_offs), u8p(ops), i32p(lens), i64p(counts),
     )
+    if flat:
+        return scores.astype(np.int64), ops, lens, counts, item_offs
     # vectorized item extraction: gather the used (op, len) entries flat,
     # decode ops to chars in one take, then slice per window — the naive
     # per-window comprehension was ~10x slower at tens of thousands of
@@ -436,3 +463,55 @@ def window_dp_native(
     bounds = np.cumsum(counts).tolist()
     items = [pairs_flat[a:b] for a, b in zip([0] + bounds[:-1], bounds)]
     return scores.astype(np.int64), items
+
+
+def stitch_records_native(
+    runs_q: np.ndarray,
+    runs_t: np.ndarray,
+    runs_len: np.ndarray,
+    rec_off: np.ndarray,
+    gap_ops: np.ndarray,
+    gap_lens: np.ndarray,
+    gap_off: np.ndarray,
+    gap_ids: np.ndarray,
+    pen,
+):
+    """Assemble per-record run-length CIGARs from chain runs + gap fills in
+    one C++ call (align/sweep.py stage 3; bit-identical to the Python
+    stitch — fuzz-pinned in tests/test_sweep.py).  gap_ids must be sorted
+    ascending global run indices (the gap after flat run i has id i).
+
+    Returns (ops [uint8], lens [int32], out_off [R+1], scores [R] int64)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    R = int(rec_off.size) - 1
+    nr = int(rec_off[-1])
+    G = int(gap_ids.size)
+    cap = 3 * max(nr, 1) + int(gap_off[-1]) + 8
+    runs_q = np.ascontiguousarray(runs_q, dtype=np.int64)
+    runs_t = np.ascontiguousarray(runs_t, dtype=np.int64)
+    runs_len = np.ascontiguousarray(runs_len, dtype=np.int64)
+    rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
+    gap_ops = np.ascontiguousarray(gap_ops, dtype=np.uint8)
+    gap_lens = np.ascontiguousarray(gap_lens, dtype=np.int32)
+    gap_off = np.ascontiguousarray(gap_off, dtype=np.int64)
+    gap_ids = np.ascontiguousarray(gap_ids, dtype=np.int64)
+    out_ops = np.zeros(cap, np.uint8)
+    out_lens = np.zeros(cap, np.int32)
+    out_off = np.zeros(R + 1, np.int64)
+    out_scores = np.zeros(max(R, 1), np.int64)
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    total = lib.stitch_records(
+        i64p(runs_q), i64p(runs_t), i64p(runs_len), i64p(rec_off), R,
+        u8p(gap_ops), i32p(gap_lens), i64p(gap_off), i64p(gap_ids), G,
+        pen.mismatch, pen.gap1_open, pen.gap1_extend,
+        pen.gap2_open if pen.two_piece else -1,
+        pen.gap2_extend if pen.two_piece else -1,
+        u8p(out_ops), i32p(out_lens), i64p(out_off), i64p(out_scores),
+    )
+    total = int(total)
+    return out_ops[:total], out_lens[:total], out_off, out_scores[:R]

@@ -250,3 +250,55 @@ def test_sweep_repeat_heavy_sequences_validate():
     sr.align_and_unite()
     g = sr.write_gfa()
     assert sr.validate_paths_match_sequences(g) == []
+
+
+def test_native_stitch_bit_equality_fuzz():
+    """The C++ stitch (native.stitch_records) must be bit-identical to the
+    Python stitch across randomized divergence content (SNPs, indels,
+    duplications, inversions): same records, scores, CIGARs, starts
+    (VERDICT r4 #4)."""
+    import pytest
+
+    from seqrush_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        L = int(rng.integers(400, 1600))
+        base = rand_seq(L, int(rng.integers(1 << 30)))
+        named = [("s0", base)]
+        for k in range(1, int(rng.integers(3, 6))):
+            s = bytearray(base)
+            for pos in rng.integers(0, len(s), size=int(rng.uniform(0.005, 0.04) * len(s))):
+                s[pos] = BASES[rng.integers(0, 4)]
+            for _ in range(int(rng.integers(0, 4))):
+                pos = int(rng.integers(0, max(len(s) - 80, 1)))
+                ln = int(rng.integers(1, 60))
+                if rng.random() < 0.5:
+                    del s[pos : pos + ln]
+                else:
+                    s[pos:pos] = BASES[rng.integers(0, 4, size=ln)].tobytes()
+            if rng.random() < 0.3:
+                a, b = len(s) // 3, 2 * len(s) // 3
+                s[a:b] = bytes(s[a:b]).translate(comp)[::-1]
+            named.append((f"s{k}", bytes(s)))
+        seqs = make_sequence_set(named)
+        pairs = all_ordered_pairs(len(seqs))
+        al_n = SweepAligner(seqs, RunnerConfig())
+        res_n = al_n.align_pairs(pairs)
+        al_p = SweepAligner(seqs, RunnerConfig())
+        al_p.force_python_stitch = True
+        res_p = al_p.align_pairs(pairs)
+        assert len(res_n) == len(res_p)
+        for a, b in zip(res_n, res_p):
+            assert (
+                a.query_idx, a.target_idx, a.is_reverse, a.score,
+                a.query_start, a.target_start,
+            ) == (
+                b.query_idx, b.target_idx, b.is_reverse, b.score,
+                b.query_start, b.target_start,
+            ), f"trial {trial}"
+            assert a.cigar == b.cigar, f"trial {trial}"
