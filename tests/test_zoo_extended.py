@@ -36,15 +36,39 @@ def _small_extended_genes(n=6, seed=77, max_bp=9000):
     return out
 
 
+_validated_cache: dict[int, dict] = {}
+
+
+def _validated(gi: int) -> dict:
+    """validate_gene result for CI extended gene gi (cached: the mean-RMSE
+    gate test reuses the per-gene runs instead of re-aligning)."""
+    if gi not in _validated_cache:
+        import tempfile
+
+        fam = _small_extended_genes()[gi]
+        with tempfile.TemporaryDirectory() as d:
+            _validated_cache[gi] = validate_gene(fam, f"x{gi}", d)
+    return _validated_cache[gi]
+
+
 @pytest.mark.parametrize("gi", range(4))
-def test_extended_gene_validates(gi, tmp_path):
-    fam = _small_extended_genes()[gi]
-    r = validate_gene(fam, f"x{gi}", str(tmp_path))
+def test_extended_gene_validates(gi):
+    r = _validated(gi)
     assert r["pass"], r
-    # layout sanity (not the canonical RMSE gate — that stays on the
-    # fixed 6-gene zoo): an extended gene must stay within the same order
-    # of magnitude as the reference's own 83.23 bp on real HLA
+    # layout sanity (the regression gate is the mean-RMSE test below):
+    # an extended gene must stay within the same order of magnitude as
+    # the reference's own 83.23 bp on real HLA
     assert r["rmse_bp"] < 250, r
+
+
+def test_extended_zoo_mean_rmse_gate():
+    """Pinned layout-quality regression gate (VERDICT r4 #6): the CI
+    extended genes' mean RMSE must beat the reference's own real-HLA
+    number (83.23 bp, /root/reference/CLAUDE.md:56-60) — a layout
+    regression trips a test, not an eyeball."""
+    rmses = [_validated(gi)["rmse_bp"] for gi in range(4)]
+    mean = sum(rmses) / len(rmses)
+    assert mean <= 83.23, (mean, rmses)
 
 
 def test_extended_profile_has_structural_variants():
