@@ -86,6 +86,71 @@ def synth_hla(n_seqs=9, length=3300, seed=7):
     return out
 
 
+def synth_zoo_families(n_fam=28, haps_per_fam=11, length=3300, seed=13):
+    """~300-seq multi-family corpus modeling the HLA-zoo FULL set
+    (BASELINE.json config 3): families derive from one ancestral base
+    (4-8% family-defining divergence + indels, like allele groups of one
+    locus), haplotypes 0.5-2% within — so cross-family pairs are divergent
+    but band-boundedly alignable, which is what makes TreeSampling's
+    k-near/k-far split meaningful."""
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ancestor = bases[rng.integers(0, 4, size=length)]
+    out = []
+    for f in range(n_fam):
+        fam = bytearray(ancestor.tobytes())
+        for pos in rng.integers(0, len(fam), size=int(rng.uniform(0.04, 0.08) * len(fam))):
+            fam[pos] = bases[rng.integers(0, 4)]
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(0, len(fam) - 60))
+            ln = int(rng.integers(3, 40))
+            if rng.random() < 0.5:
+                del fam[pos : pos + ln]
+            else:
+                fam[pos:pos] = bases[rng.integers(0, 4, size=ln)].tobytes()
+        base = bytes(fam)
+        for k in range(haps_per_fam):
+            s = bytearray(base)
+            for pos in rng.integers(0, len(s), size=int(rng.uniform(0.005, 0.02) * len(s))):
+                s[pos] = bases[rng.integers(0, 4)]
+            for _ in range(int(rng.integers(0, 3))):
+                pos = int(rng.integers(0, len(s) - 40))
+                ln = int(rng.integers(1, 20))
+                if rng.random() < 0.5:
+                    del s[pos : pos + ln]
+                else:
+                    s[pos:pos] = bases[rng.integers(0, 4, size=ln)].tobytes()
+            out.append((f"fam{f:02d}*{k:02d}", bytes(s)))
+    return out
+
+
+def synth_locus_1k(n_hap=1000, length=3300, seed=23):
+    """1,000-haplotype single-locus corpus (BASELINE.json config 4:
+    iterative two-phase at 1k seqs).  Divergence ~0.5% per haplotype —
+    the allele-set regime where the reference's component-count early
+    stop actually fires (at >=2% private SNPs per haplotype, coincident
+    same-base SNP pairs keep changing the count and the random phase
+    never stabilizes — measured r5; the reference's semantics are
+    identical, seqrush.rs:1038-1121)."""
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = bases[rng.integers(0, 4, size=length)]
+    out = [("locus*0000", base.tobytes())]
+    for k in range(1, n_hap):
+        s = bytearray(base.tobytes())
+        for pos in rng.integers(0, len(s), size=int(0.005 * len(s))):
+            s[pos] = bases[rng.integers(0, 4)]
+        if rng.random() < 0.3:
+            pos = int(rng.integers(0, len(s) - 40))
+            ln = int(rng.integers(1, 15))
+            if rng.random() < 0.5:
+                del s[pos : pos + ln]
+            else:
+                s[pos:pos] = bases[rng.integers(0, 4, size=ln)].tobytes()
+        out.append((f"locus*{k:04d}", bytes(s)))
+    return out
+
+
 def _timed_best_passes(aligner, pairs, n_passes, *, budget_s=None, t_start=None):
     """Best wall-clock over up to n_passes steady-state align_pairs runs.
 
@@ -291,6 +356,96 @@ def main():
     except Exception as e:
         print(f"[bench] sweepga run failed: {e}", file=sys.stderr)
 
+    # TreeSampling-sparsified multi-family workload (BASELINE.json config 3,
+    # never measured before round 5): ~300 seqs, 'tree:3,3,0.1' schedule
+    # (k-mer sketch distances -> k-near/k-far/MST tree pairs + 10% random),
+    # aligned with the production runner
+    tree_value = 0.0
+    tree_pairs_n = 0
+    tree_sched_s = 0.0
+    try:
+        if _past_deadline(260.0):
+            raise TimeoutError("deadline")
+        from seqrush_tpu.align.pairs import (
+            parse_sparsification,
+            schedule_pairs,
+        )
+        from seqrush_tpu.ops.kmer import kmer_distance_matrix
+
+        seqs_tree = make_sequence_set(synth_zoo_families())
+        al_tree = WfaAligner(seqs_tree, cfg)
+        t0 = time.time()
+        kdist = kmer_distance_matrix(al_tree.codes, 16)
+        pairs_tree = schedule_pairs(
+            len(seqs_tree), parse_sparsification("tree:3,3,0.1"),
+            seed=42, kmer_distances=kdist,
+        )
+        tree_sched_s = time.time() - t0
+        tree_pairs_n = int(len(pairs_tree))
+        al_tree.align_pairs(pairs_tree)  # warm any unseen shapes
+        tree_dt, res_tree = _timed_best_passes(
+            al_tree, pairs_tree, 2, budget_s=400.0, t_start=t_proc0
+        )
+        if tree_dt is not None:
+            tree_value = len(res_tree) / tree_dt
+            st = al_tree.stats
+            print(
+                f"[bench] tree:3,3,0.1 ({len(seqs_tree)} seqs): "
+                f"{len(res_tree)}/{tree_pairs_n} pairs in {tree_dt:.3f}s = "
+                f"{tree_value:.0f} pairs/s (schedule {tree_sched_s:.2f}s, "
+                f"{st['band_escalations']} band escalations, "
+                f"{st['cells_padded'] / 1e6:.0f}M padded cells)",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"[bench] tree-sparsified run failed: {e}", file=sys.stderr)
+
+    # iterative two-phase at 1,000 sequences (BASELINE.json config 4, never
+    # measured before round 5): tree pairs, then random pairs with the
+    # reference's component-count early stop.  Measured as one full
+    # align_and_unite run (alignment + bulk unite + component cadence).
+    iter_value = 0.0
+    iter_info = {}
+    try:
+        if _past_deadline(340.0):
+            raise TimeoutError("deadline")
+        from seqrush_tpu.config import Args
+        from seqrush_tpu.pipeline import SeqRushTPU
+
+        seqs_1k = make_sequence_set(synth_locus_1k())
+        best = None
+        for _ in range(2):
+            sr1k = SeqRushTPU(seqs_1k, Args(output="/tmp/bench_iter.gfa", iterative=True))
+            t0 = time.time()
+            sr1k.align_and_unite()
+            dt1k = time.time() - t0
+            npairs = (
+                sr1k.stats.get("iterative_tree_pairs", 0)
+                + sr1k.stats.get("iterative_random_pairs", 0)
+            )
+            if best is None or dt1k < best[0]:
+                best = (dt1k, npairs, sr1k.stats)
+            if _past_deadline(420.0):
+                break
+        dt1k, npairs, st1k = best
+        iter_value = npairs / dt1k
+        iter_info = {
+            "iterative_1k_pairs": int(npairs),
+            "iterative_1k_wall_s": round(dt1k, 2),
+            "iterative_1k_stabilized": bool(st1k.get("iterative_stabilized")),
+            "iterative_1k_random_pairs": int(st1k.get("iterative_random_pairs", 0)),
+        }
+        print(
+            f"[bench] iterative 1k seqs: {npairs} pairs in {dt1k:.2f}s = "
+            f"{iter_value:.0f} pairs/s (tree {st1k.get('iterative_tree_pairs')}, "
+            f"random {st1k.get('iterative_random_pairs')}, "
+            f"stabilized={st1k.get('iterative_stabilized')}, "
+            f"{st1k.get('iterative_dispatches')} dispatches)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] iterative 1k run failed: {e}", file=sys.stderr)
+
     # second sampling of the SAME anchor workload, minutes after the first:
     # tunnel-window throughput drifts 2-3x (docs/ROUND3_NOTES.md), so the
     # first/last pair carries the round's own drift bar in the JSON
@@ -302,9 +457,9 @@ def main():
         # only start the resample with enough margin for one worst-case
         # pass (~40 s in a catastrophically slow window) before the 550 s
         # driver timeout would eat the JSON line (ADVICE r3 low)
-        if value > 0.0 and not _past_deadline(380.0):
+        if value > 0.0 and not _past_deadline(430.0):
             sat2, res2 = _timed_best_passes(
-                al_sat, pairs_sat, 4, budget_s=420.0, t_start=t_proc0
+                al_sat, pairs_sat, 4, budget_s=470.0, t_start=t_proc0
             )
             if sat2 is not None:
                 anchor_last = len(res2) / sat2
@@ -333,6 +488,15 @@ def main():
                 "e2e_fasta_to_gfa_s": round(e2e, 2),
                 "e2e_phases_s": e2e_phases,
                 "sweepga_600pair_pairs_per_s": round(sweep_value, 2),
+                "tree_sparsified_pairs_per_s": round(tree_value, 2),
+                "tree_sparsified_pairs": tree_pairs_n,
+                "tree_schedule_s": round(tree_sched_s, 2),
+                "iterative_1k_pairs_per_s": round(iter_value, 2),
+                **iter_info,
+                # no Rust toolchain exists here to measure the 64-thread
+                # reference pool; the 2,000/s divisor is an estimate
+                # (VERDICT r4 #8)
+                "baseline_estimated": True,
             }
         )
     )

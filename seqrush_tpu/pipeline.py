@@ -57,6 +57,8 @@ class SeqRushTPU:
             self.parent = uf.unite_edges(self.parent, i << 1, (i << 1) | 1)
         self._edge_u: list[np.ndarray] = []
         self._edge_v: list[np.ndarray] = []
+        self._edge_queued = 0  # running element count (re-summing the list
+        # per queue call was O(buffers^2) — 2 s of host time at 1k seqs)
         self.stats: dict = {}
         from .utils import PhaseTimer
 
@@ -66,7 +68,10 @@ class SeqRushTPU:
 
     def count_components(self) -> int:
         self._flush_unites()
-        return uf.count_components(self.parent, self.total_length)
+        # self-root reduction, not root-unique: the iterative mode calls
+        # this every CHECK_INTERVAL results (reference seqrush.rs:1038-1121)
+        # and at 1k-seq scale the unique path is ~18x slower per call
+        return uf.count_components_fast(self.parent, self.total_length << 1)
 
     @staticmethod
     def _process_count() -> int:
@@ -81,11 +86,12 @@ class SeqRushTPU:
         if u.size:
             self._edge_u.append(u)
             self._edge_v.append(v)
+            self._edge_queued += int(u.size)
         # flush periodically to bound host memory.  Multi-host: the flush is
         # a collective (edge-list allgather), so it must happen at points
         # every host reaches — opportunistic size-triggered flushes would
         # deadlock when only one host's buffer crosses the threshold.
-        if self._process_count() == 1 and sum(a.size for a in self._edge_u) > 50_000_000:
+        if self._process_count() == 1 and self._edge_queued > 50_000_000:
             self._flush_unites()
 
     def _flush_unites(self) -> None:
@@ -107,6 +113,7 @@ class SeqRushTPU:
                 else np.zeros(0, np.int64)
             )
             self._edge_u, self._edge_v = [], []
+            self._edge_queued = 0
             u, v = allgather_edge_lists(u, v)
             if not u.size:
                 return
@@ -116,6 +123,7 @@ class SeqRushTPU:
             u = np.concatenate(self._edge_u)
             v = np.concatenate(self._edge_v)
             self._edge_u, self._edge_v = [], []
+            self._edge_queued = 0
         # host C++ union-find when available (same deterministic min-roots,
         # no compile); jax bulk unite otherwise / for device-resident runs
         try:
@@ -357,6 +365,9 @@ class SeqRushTPU:
                 if self.args.verbose:
                     print(f"[iterative] stabilized after {pair_counter} random pairs")
                 break
+        self.stats["iterative_random_pairs"] = pair_counter
+        self.stats["iterative_tree_pairs"] = int(len(tree_pairs))
+        self.stats["iterative_stabilized"] = stopped
 
     def _paf_out(self, results) -> None:
         if not self.args.output_alignments:

@@ -87,3 +87,30 @@ def test_empty_unite():
     p = uf.create(16)
     p2 = uf.unite_edges(p, np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32))
     assert (np.asarray(p2) == np.arange(16)).all()
+
+
+def test_count_components_fast_parity():
+    """count_components_fast (self-root reduction) must equal the
+    root-unique count under the pipeline's invariants (F/R pre-united,
+    phantom slots isolated) across randomized unite workloads."""
+    import numpy as np
+
+    from seqrush_tpu.ops import unionfind as uf
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        L = int(rng.integers(50, 4000))  # forward positions
+        parent = uf.create((L << 1) + 2)
+        i = np.arange(L, dtype=np.int64)
+        parent = uf.unite_edges(parent, i << 1, (i << 1) | 1)  # F/R pre-unite
+        m = int(rng.integers(0, 4 * L))
+        if m:
+            u = rng.integers(0, 2 * L, size=m)
+            v = rng.integers(0, 2 * L, size=m)
+            parent = uf.unite_edges(parent, u, v)
+        slow = uf.count_components(parent, L)
+        fast = uf.count_components_fast(parent, L << 1)
+        assert slow == fast, (L, m, slow, fast)
+        # numpy-parent path (the native _flush_unites representation)
+        fast_np = uf.count_components_fast(np.asarray(parent), L << 1)
+        assert fast_np == slow
