@@ -248,6 +248,15 @@ def main():
         f"exactness: band certificate + DP-oracle-checked anchored stitches)",
         file=sys.stderr,
     )
+    print(
+        "[bench] latency split: "
+        + " ".join(
+            f"{k}={st.get(k, 0):.3f}s"
+            for k in ("orient_s", "dispatch_s", "collect_s", "anchored_s")
+        )
+        + f" host_windows={st.get('host_windows', 0)}",
+        file=sys.stderr,
+    )
 
     # headline workload: 25 sequences, 600 ordered pairs — the batch
     # dimension actually filled, which is what an HLA-zoo-scale run

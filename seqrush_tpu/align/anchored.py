@@ -287,10 +287,18 @@ def dispatch_windows(al, jobs, pen) -> tuple[list, list]:
     if not jobs:
         return [], [], out
     budget = al.cfg.wide_host_window_cells
+    # bulk route: a latency-scale workload (total cells under
+    # wide_host_total_cells) runs ENTIRELY on the host — the threaded DP
+    # overlaps the narrow chunk's device time and the big-core device
+    # program (+ its round trip) leaves the serial path
+    total_cells = sum((qw.size + 1) * (tw.size + 1) for qw, tw in jobs)
+    host_all = bool(budget) and 0 < total_cells <= getattr(
+        al.cfg, "wide_host_total_cells", 0
+    )
     host_sel = []
     device_sel = []
     for j, (qw, tw) in enumerate(jobs):
-        if budget and (qw.size + 1) * (tw.size + 1) <= budget:
+        if budget and (host_all or (qw.size + 1) * (tw.size + 1) <= budget):
             host_sel.append(j)
         else:
             device_sel.append(j)

@@ -202,6 +202,15 @@ class RunnerConfig:
     # device program.  Raise on many-core hosts.  0 disables host windows
     # entirely (also the no-toolchain fallback).
     wide_host_window_cells: int = 1 << 18
+    # latency-scale bulk route: when the WHOLE anchored window workload
+    # (including over-budget inversion cores) fits this many cells, every
+    # window runs on the host — the threaded C++ DP (~3 ns/cell/core)
+    # finishes inside the narrow chunk's device time, removing the
+    # big-core device program (and its dispatch round trip) from the
+    # small-workload serial path.  The 72-pair gene workload's 16
+    # inversion cores are ~19M cells; the 600-pair bench's 48 cores
+    # (~58M) stay on device.  0 disables the bulk route.
+    wide_host_total_cells: int = 32 << 20
 
 
 class _TiledChunk(list):

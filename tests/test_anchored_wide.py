@@ -253,3 +253,33 @@ def test_paf_roundtrip_with_wide_pairs(tmp_path):
     sr2.align_and_unite()
     sr2.write_gfa()
     assert open(out1).read() == open(out2).read()
+
+
+def test_bulk_host_core_route_matches_device(family):
+    """The latency-scale bulk route (wide_host_total_cells) sends even the
+    big inversion cores to the host C++ DP; scores must equal the
+    device-core route's (both DP-exact) and host_windows must cover every
+    window."""
+    from seqrush_tpu.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    seqs, pairs, oracle = family
+    al_host = WfaAligner(
+        seqs, RunnerConfig(scores=SCORES, wide_host_total_cells=1 << 30)
+    )
+    res_host = al_host.align_pairs(pairs)
+    al_dev = WfaAligner(
+        seqs, RunnerConfig(scores=SCORES, wide_host_total_cells=0)
+    )
+    res_dev = al_dev.align_pairs(pairs)
+    assert al_host.stats["anchored_pairs"] > 0
+    assert al_host.stats["host_windows"] >= al_dev.stats["host_windows"]
+    by_pair_dev = {(r.query_idx, r.target_idx): r for r in res_dev}
+    assert len(res_host) == len(res_dev) == len(pairs)
+    for r in res_host:
+        o = by_pair_dev[(r.query_idx, r.target_idx)]
+        assert r.score == o.score == oracle[(r.query_idx, r.target_idx)].score
+        assert r.is_reverse == o.is_reverse
