@@ -129,7 +129,9 @@ def sgd_schedule(w_min, w_max, iter_max, iter_with_max_lr, eps) -> np.ndarray:
     return eta_max * np.exp(-lam * np.abs(t - iter_with_max_lr))
 
 
-@functools.partial(jax.jit, static_argnames=("n_sub", "u_per_sub"))
+@functools.partial(
+    jax.jit, static_argnames=("n_sub", "u_per_sub", "block_ticks")
+)
 def _sgd_run(
     x0,
     node_of_step,
@@ -147,48 +149,51 @@ def _sgd_run(
     space_real,
     n_sub: int,
     u_per_sub: int,
+    block_ticks: int = 0,
 ):
     # n_steps / space_real are the REAL sizes; array shapes may be padded up
     # to a bucket ladder (path_linear_sgd).  Sampling draws only real step
     # indices and jumps are clipped to the real space, so padded entries are
     # never read and results match the exact-shape program bit for bit.
+    #
+    # Randomness is generated in per-tick-keyed BLOCKS outside the tick
+    # scan: five small threefry calls per tick were ~85% of the scan's wall
+    # (measured r5: 0.99 s -> 0.13 s for the bench gene on CPU).  Each
+    # tick's draws come from its own key via vmap — identical values to
+    # per-tick calls — so the block size is purely a memory/vectorization
+    # knob with no effect on results.
     S = n_steps
-
-    def zipf_sample(key, H, jump_space):
-        """Inverse-CDF Zipfian over 1..jump_space (exact partial sums)."""
-        u = jax.random.uniform(key, jump_space.shape, dtype=jnp.float32)
-        total = H[jump_space]
-        target = u * total
-        z = jnp.searchsorted(H, target, side="left")
-        return jnp.clip(z, 1, jnp.maximum(jump_space, 1))
+    T = (etas.shape[0] - 1) * n_sub
+    B = block_ticks if block_ticks > 0 else T
 
     def tick(x, args):
-        it, sub, key = args
+        it, step_idx, coin_zipf, coin_back, u01, u02 = args
         eta = etas[jnp.minimum(it, etas.shape[0] - 1)]
         cooling = it >= first_cooling_iter
         H = jnp.where(cooling, Hcool, Hmain)
 
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        step_idx = jax.random.randint(k1, (u_per_sub,), 0, S)
         pid = step_path[step_idx]
         cnt = path_count[pid]
         rank_a = step_rank[step_idx]
 
-        use_zipf = cooling | (jax.random.randint(k2, (u_per_sub,), 0, 2) == 1)
-        go_back = (rank_a > 0) & (
-            (jax.random.randint(k3, (u_per_sub,), 0, 2) == 1) | (rank_a == cnt - 1)
-        )
+        use_zipf = cooling | coin_zipf
+        go_back = (rank_a > 0) & (coin_back | (rank_a == cnt - 1))
         space_back = jnp.minimum(space_real, rank_a)
         space_fwd = jnp.minimum(space_real, cnt - rank_a - 1)
         jump_space = jnp.where(go_back, space_back, space_fwd).astype(jnp.int32)
         jump_space = jnp.maximum(jump_space, 1)
-        z = zipf_sample(k4, H, jump_space)
+        # inverse-CDF Zipfian over 1..jump_space (exact partial sums)
+        z = jnp.searchsorted(H, u01 * H[jump_space], side="left")
+        z = jnp.clip(z, 1, jnp.maximum(jump_space, 1))
         rank_b_zipf = jnp.where(
             go_back,
             jnp.maximum(rank_a - z, 0),
             jnp.minimum(rank_a + z, cnt - 1),
         )
-        rank_b_unif = jax.random.randint(k5, (u_per_sub,), 0, jnp.maximum(cnt, 1))
+        rank_b_unif = jnp.minimum(
+            (u02 * cnt.astype(jnp.float32)).astype(jnp.int32),
+            jnp.maximum(cnt - 1, 0),
+        )
         rank_b = jnp.where(use_zipf, rank_b_zipf, rank_b_unif).astype(jnp.int32)
 
         sa = step_idx
@@ -229,9 +234,37 @@ def _sgd_run(
         return x, None
 
     iters = jnp.repeat(jnp.arange(etas.shape[0] - 1), n_sub)
-    subs = jnp.tile(jnp.arange(n_sub), etas.shape[0] - 1)
-    keys = jax.random.split(jax.random.PRNGKey(seed), iters.shape[0])
-    x, _ = jax.lax.scan(tick, x0, (iters, subs, keys))
+    keys = jax.random.split(jax.random.PRNGKey(seed), T)
+
+    def block(x, args):
+        it_blk, key_blk = args
+        ks = jax.vmap(lambda k: jax.random.split(k, 5))(key_blk)  # [B, 5, 2]
+        step_idx_b = jax.vmap(
+            lambda k: jax.random.randint(k, (u_per_sub,), 0, S)
+        )(ks[:, 0])
+        coin_z_b = jax.vmap(
+            lambda k: jax.random.randint(k, (u_per_sub,), 0, 2) == 1
+        )(ks[:, 1])
+        coin_b_b = jax.vmap(
+            lambda k: jax.random.randint(k, (u_per_sub,), 0, 2) == 1
+        )(ks[:, 2])
+        u01_b = jax.vmap(
+            lambda k: jax.random.uniform(k, (u_per_sub,), dtype=jnp.float32)
+        )(ks[:, 3])
+        u02_b = jax.vmap(
+            lambda k: jax.random.uniform(k, (u_per_sub,), dtype=jnp.float32)
+        )(ks[:, 4])
+        x, _ = jax.lax.scan(
+            tick, x, (it_blk, step_idx_b, coin_z_b, coin_b_b, u01_b, u02_b)
+        )
+        return x, None
+
+    n_blocks = T // B
+    x, _ = jax.lax.scan(
+        block,
+        x0,
+        (iters.reshape(n_blocks, B), keys.reshape(n_blocks, B, 2)),
+    )
     return x
 
 
@@ -319,6 +352,16 @@ def path_linear_sgd(graph: BidirectedGraph, params: PathSGDParams) -> dict[int, 
     if params.bucket:
         u_per_sub = max(u_per_sub, S_pad // n_sub)
 
+    # RNG block size: the largest divisor of the tick count whose
+    # precomputed draws stay under ~56 MB (lanes * 14 B); purely a
+    # memory/vectorization knob — per-tick keys make results identical
+    # for any block size
+    T_ticks = params.iter_max * n_sub
+    cap_lanes = 4 << 20
+    block = T_ticks
+    while block > 1 and block * u_per_sub > cap_lanes:
+        block = max(d for d in range(1, block) if T_ticks % d == 0)
+
     from ..ops.unionfind import compute_device
 
     with compute_device():
@@ -339,6 +382,7 @@ def path_linear_sgd(graph: BidirectedGraph, params: PathSGDParams) -> dict[int, 
             jnp.asarray(space, dtype=jnp.int32),
             n_sub=n_sub,
             u_per_sub=int(u_per_sub),
+            block_ticks=int(block),
         )
     x = np.asarray(x)[:N]
     return {nid: float(x[k]) for k, nid in enumerate(node_ids)}
