@@ -31,11 +31,17 @@ def main() -> int:
     import jax
 
     backend = jax.default_backend()
-    if backend != "tpu":
+    from seqrush_tpu.ops.unionfind import on_axon_tunnel
+
+    # NOTE: the axon plugin now registers as platform "tpu" (measured r5),
+    # so the backend name alone no longer excludes the tunnel — check the
+    # env-level platform list too.
+    if backend != "tpu" or on_axon_tunnel():
         print(
-            f"ABORT: backend is '{backend}', need a DIRECT-ATTACHED TPU "
-            "('tpu').  Never run this through the axon tunnel — Pallas "
-            "programs crash its remote-compile helper (CLAUDE.md).",
+            f"ABORT: backend is '{backend}' (axon tunnel: {on_axon_tunnel()}), "
+            "need a DIRECT-ATTACHED TPU.  Never run this through the axon "
+            "tunnel — Pallas programs crash its remote-compile helper "
+            "(CLAUDE.md).",
             file=sys.stderr,
         )
         return 2

@@ -81,7 +81,9 @@ class RunnerConfig:
     # when the probe passes; 'xla' forces the XLA sweep; 'pallas' forces the
     # hand-placed kernel.  The axon TPU tunnel's remote-compile helper
     # crashes on ANY pallas program (including trivial ones), so 'auto'
-    # never probes through it (backend name 'axon' != 'tpu').
+    # never probes through it (ops/unionfind.on_axon_tunnel — the plugin
+    # registers as platform "tpu" in current builds, so the backend name
+    # alone does not exclude the tunnel).
     kernel_impl: str = "auto"
     # optional jax.sharding.Mesh with a 'data' axis: alignment batches are
     # sharded on the batch dim across its devices (single-host multi-chip)
@@ -204,13 +206,13 @@ class RunnerConfig:
     wide_host_window_cells: int = 1 << 18
     # latency-scale bulk route: when the WHOLE anchored window workload
     # (including over-budget inversion cores) fits this many cells, every
-    # window runs on the host — the threaded C++ DP (~3 ns/cell/core)
-    # finishes inside the narrow chunk's device time, removing the
-    # big-core device program (and its dispatch round trip) from the
-    # small-workload serial path.  The 72-pair gene workload's 16
-    # inversion cores are ~19M cells; the 600-pair bench's 48 cores
-    # (~58M) stay on device.  0 disables the bulk route.
-    wide_host_total_cells: int = 32 << 20
+    # window runs on the host.  NEGATIVE RESULT (r5, interleaved on-TPU
+    # A/B): on this 4-core host the 72-pair workload's 16 inversion cores
+    # cost ~50-70 ms of host DP vs ~20 ms riding the device queue
+    # (0.085-0.190 s/pass ON vs 0.068-0.074 OFF) — the host DP does not
+    # overlap enough and the thread pool oversubscribes.  Default 0
+    # (disabled); the knob stays for many-core hosts.
+    wide_host_total_cells: int = 0
 
 
 class _TiledChunk(list):
@@ -1162,7 +1164,12 @@ class WfaAligner:
         import jax
 
         try:
-            if jax.default_backend() != "tpu":
+            from ..ops.unionfind import on_axon_tunnel
+
+            # the axon plugin registers as platform "tpu" in current builds
+            # — the backend-name gate alone no longer excludes the tunnel,
+            # and a pallas program crashes its remote-compile helper
+            if jax.default_backend() != "tpu" or on_axon_tunnel():
                 return False
             from ..ops import nw_pallas
 

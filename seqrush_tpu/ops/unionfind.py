@@ -34,6 +34,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def on_axon_tunnel() -> bool:
+    """True when the session's TPU is the tunneled axon device.
+
+    The axon PJRT plugin registers under the platform name "tpu" in current
+    builds (measured r5: ``jax.default_backend() == "tpu"`` and
+    ``d.platform`` is NOT "axon" — the old per-device check silently became
+    a no-op and a fresh SGD shape compiled over the tunnel for 62 s).  The
+    robust signal is the env-level platform list: sitecustomize pre-imports
+    jax with ``jax_platforms="axon,cpu"``; CPU-pinned processes overwrite it
+    with "cpu" before any jax operation.
+    """
+    try:
+        plats = jax.config.jax_platforms or ""
+    except Exception:
+        plats = ""
+    if "axon" in plats:
+        return True
+    try:
+        return any(d.platform == "axon" for d in jax.devices())
+    except Exception:
+        return False
+
+
 def compute_device():
     """Device context for union-find programs.
 
@@ -45,9 +68,7 @@ def compute_device():
     parallel/mesh.py always runs the unite on device).
     """
     try:
-        if jax.default_backend() == "tpu" and any(
-            d.platform == "axon" for d in jax.devices()
-        ):
+        if on_axon_tunnel():
             cpus = jax.devices("cpu")
             if cpus:
                 return jax.default_device(cpus[0])
