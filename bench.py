@@ -326,45 +326,6 @@ def main():
         e2e_phases = {}
         print(f"[bench] e2e run failed: {e}", file=sys.stderr)
 
-    # sweepga backend throughput on the same saturated workload (the
-    # reference's FastGA+filter path is its FAST mode, estimated 5-10x its
-    # WFA path, docs/sweepga_integration.md:403-406 — so it needs its own
-    # measured number; VERDICT r2 #3)
-    sweep_value = 0.0
-    try:
-        if _past_deadline():
-            raise TimeoutError("deadline")
-        from seqrush_tpu.align.sweep import SweepAligner
-
-        al_sw = SweepAligner(seqs_sat, cfg)
-        al_sw.align_pairs(pairs_sat)  # warm compiles
-        sw_best = None
-        for _ in range(2):
-            # reset stats so the reported counts cover ONE pass; re-pay the
-            # orientation sketch like the headline loop, but keep the
-            # minimizer index (_min_cache): FastGA indexes each sequence
-            # once per run, so a warm index IS the modeled steady state
-            for k, v in list(al_sw.stats.items()):
-                al_sw.stats[k] = 0.0 if isinstance(v, float) else 0
-            for attr in ("_mh_fwd", "_mh_rc"):
-                if hasattr(al_sw, attr):
-                    delattr(al_sw, attr)
-            t0 = time.time()
-            res_sw = al_sw.align_pairs(pairs_sat)
-            dtw = time.time() - t0
-            if sw_best is None or dtw < sw_best:
-                sw_best = dtw
-        sweep_value = len(pairs_sat) / sw_best
-        print(
-            f"[bench] sweepga backend: {len(pairs_sat)} pairs in "
-            f"{sw_best:.3f}s = {sweep_value:.0f} pairs/s "
-            f"({len(res_sw)} records kept, {al_sw.stats['chains']} chains, "
-            f"{al_sw.stats['filtered_1to1']} filtered 1:1)",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] sweepga run failed: {e}", file=sys.stderr)
-
     # TreeSampling-sparsified multi-family workload (BASELINE.json config 3,
     # never measured before round 5): ~300 seqs, 'tree:3,3,0.1' schedule
     # (k-mer sketch distances -> k-near/k-far/MST tree pairs + 10% random),
@@ -373,7 +334,7 @@ def main():
     tree_pairs_n = 0
     tree_sched_s = 0.0
     try:
-        if _past_deadline(260.0):
+        if _past_deadline(300.0):
             raise TimeoutError("deadline")
         from seqrush_tpu.align.pairs import (
             parse_sparsification,
@@ -416,7 +377,7 @@ def main():
     iter_value = 0.0
     iter_info = {}
     try:
-        if _past_deadline(340.0):
+        if _past_deadline(370.0):
             raise TimeoutError("deadline")
         from seqrush_tpu.config import Args
         from seqrush_tpu.pipeline import SeqRushTPU
@@ -455,6 +416,45 @@ def main():
     except Exception as e:
         print(f"[bench] iterative 1k run failed: {e}", file=sys.stderr)
 
+    # sweepga backend throughput on the same saturated workload (the
+    # reference's FastGA+filter path is its FAST mode, estimated 5-10x its
+    # WFA path, docs/sweepga_integration.md:403-406 — so it needs its own
+    # measured number; VERDICT r2 #3)
+    sweep_value = 0.0
+    try:
+        if _past_deadline(430.0):
+            raise TimeoutError("deadline")
+        from seqrush_tpu.align.sweep import SweepAligner
+
+        al_sw = SweepAligner(seqs_sat, cfg)
+        al_sw.align_pairs(pairs_sat)  # warm compiles
+        sw_best = None
+        for _ in range(2):
+            # reset stats so the reported counts cover ONE pass; re-pay the
+            # orientation sketch like the headline loop, but keep the
+            # minimizer index (_min_cache): FastGA indexes each sequence
+            # once per run, so a warm index IS the modeled steady state
+            for k, v in list(al_sw.stats.items()):
+                al_sw.stats[k] = 0.0 if isinstance(v, float) else 0
+            for attr in ("_mh_fwd", "_mh_rc"):
+                if hasattr(al_sw, attr):
+                    delattr(al_sw, attr)
+            t0 = time.time()
+            res_sw = al_sw.align_pairs(pairs_sat)
+            dtw = time.time() - t0
+            if sw_best is None or dtw < sw_best:
+                sw_best = dtw
+        sweep_value = len(pairs_sat) / sw_best
+        print(
+            f"[bench] sweepga backend: {len(pairs_sat)} pairs in "
+            f"{sw_best:.3f}s = {sweep_value:.0f} pairs/s "
+            f"({len(res_sw)} records kept, {al_sw.stats['chains']} chains, "
+            f"{al_sw.stats['filtered_1to1']} filtered 1:1)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] sweepga run failed: {e}", file=sys.stderr)
+
     # second sampling of the SAME anchor workload, minutes after the first:
     # tunnel-window throughput drifts 2-3x (docs/ROUND3_NOTES.md), so the
     # first/last pair carries the round's own drift bar in the JSON
@@ -466,9 +466,9 @@ def main():
         # only start the resample with enough margin for one worst-case
         # pass (~40 s in a catastrophically slow window) before the 550 s
         # driver timeout would eat the JSON line (ADVICE r3 low)
-        if value > 0.0 and not _past_deadline(430.0):
+        if value > 0.0 and not _past_deadline(460.0):
             sat2, res2 = _timed_best_passes(
-                al_sat, pairs_sat, 4, budget_s=470.0, t_start=t_proc0
+                al_sat, pairs_sat, 4, budget_s=500.0, t_start=t_proc0
             )
             if sat2 is not None:
                 anchor_last = len(res2) / sat2
