@@ -41,7 +41,15 @@ def bubble_chain_order(graph: BidirectedGraph) -> list[int] | None:
     when no usable chain exists (fewer than 2 consistent anchors)."""
     if not graph.paths or not graph.nodes:
         return None
-    node_len = {nid: len(seq) for nid, seq in graph.nodes.items()}
+    # id -> length gather table (vectorized: a per-step dict-lookup loop
+    # cost seconds at 1k-seq scale)
+    ids_tbl = np.fromiter(graph.nodes.keys(), dtype=np.int64, count=len(graph.nodes))
+    lens_tbl = np.fromiter(
+        (len(s) for s in graph.nodes.values()), dtype=np.int64, count=ids_tbl.size
+    )
+    tbl_order = np.argsort(ids_tbl, kind="stable")
+    ids_sorted = ids_tbl[tbl_order]
+    lens_sorted = lens_tbl[tbl_order]
 
     paths_nodes: list[np.ndarray] = []
     paths_off: list[np.ndarray] = []
@@ -49,7 +57,7 @@ def bubble_chain_order(graph: BidirectedGraph) -> list[int] | None:
         ns = (np.asarray(path.steps) >> 1).astype(np.int64)
         if ns.size == 0:
             continue
-        lens = np.array([node_len[int(n)] for n in ns], dtype=np.int64)
+        lens = lens_sorted[np.searchsorted(ids_sorted, ns)]
         off = np.concatenate([[0], np.cumsum(lens)[:-1]])
         paths_nodes.append(ns)
         paths_off.append(off)
@@ -57,27 +65,25 @@ def bubble_chain_order(graph: BidirectedGraph) -> list[int] | None:
     if P == 0:
         return None
 
-    # occurrence counts per path; anchor candidates occur once in every path
-    counts: dict[int, np.ndarray] = {}
-    for p, ns in enumerate(paths_nodes):
-        ids, c = np.unique(ns, return_counts=True)
-        for nid, k in zip(ids.tolist(), c.tolist()):
-            row = counts.get(nid)
-            if row is None:
-                row = counts[nid] = np.zeros(P, dtype=np.int64)
-            row[p] = k
-    cand = sorted(n for n, row in counts.items() if bool(np.all(row == 1)))
+    # anchor candidates occur exactly once in EVERY path (vectorized
+    # per-path unique + presence/count tallies)
+    ids_all = np.concatenate([np.unique(ns) for ns in paths_nodes])
+    ones_all = np.concatenate(
+        [np.unique(ns, return_counts=True)[1] == 1 for ns in paths_nodes]
+    )
+    u, inv = np.unique(ids_all, return_inverse=True)
+    present = np.bincount(inv, minlength=u.size)
+    once = np.bincount(inv, weights=ones_all.astype(np.float64), minlength=u.size)
+    cand_arr = u[(present == P) & (once == P)]  # sorted ascending
+    cand = cand_arr.tolist()
     if len(cand) < 2:
         return None
 
-    # step rank of each candidate in each path
+    # step rank of each candidate in each path (each occurs exactly once)
     rank = np.empty((len(cand), P), dtype=np.int64)
-    cand_idx = {n: i for i, n in enumerate(cand)}
     for p, ns in enumerate(paths_nodes):
-        for k, nid in enumerate(ns.tolist()):
-            i = cand_idx.get(nid)
-            if i is not None:
-                rank[i, p] = k
+        pos = np.flatnonzero(np.isin(ns, cand_arr))
+        rank[np.searchsorted(cand_arr, ns[pos]), p] = pos
 
     # greedy dominance chain: sorted by mean rank, keep a candidate iff its
     # rank exceeds the last kept anchor's rank in EVERY path — the kept
@@ -95,48 +101,61 @@ def bubble_chain_order(graph: BidirectedGraph) -> list[int] | None:
 
     # segment votes: (segment index, offset from the segment's left anchor);
     # segment -1 = before the first anchor, c = between anchors c and c+1,
-    # len(chain)-1 = after the last anchor
-    seg_votes: dict[int, dict[int, list[float]]] = {}
+    # len(chain)-1 = after the last anchor.  Vectorized per path: every
+    # path contains every chain anchor exactly once IN CHAIN ORDER (the
+    # dominance property), so a step's segment is simply the count of
+    # anchors at-or-before it minus one, and its left anchor is that
+    # anchor's offset (steps before the first anchor vote for segment -1
+    # with a negative offset from the first anchor, matching the
+    # sequential walk's pending-list handling).
+    chain_arr = np.array(chain, dtype=np.int64)
+    v_nid: list[np.ndarray] = []
+    v_seg: list[np.ndarray] = []
+    v_rel: list[np.ndarray] = []
     for ns, off in zip(paths_nodes, paths_off):
-        cur_seg = -1
-        left_off = None
-        first_anchor_off = None
-        pending: list[tuple[int, float]] = []  # leading-segment occurrences
-        for k, nid in enumerate(ns.tolist()):
-            c = chain_pos.get(nid)
-            if c is not None:
-                if first_anchor_off is None:
-                    first_anchor_off = float(off[k])
-                    for pn, po in pending:
-                        seg_votes.setdefault(pn, {}).setdefault(-1, []).append(
-                            po - first_anchor_off
-                        )
-                    pending = []
-                cur_seg = c
-                left_off = float(off[k])
-                continue
-            if left_off is None:
-                pending.append((int(nid), float(off[k])))
-            else:
-                seg_votes.setdefault(int(nid), {}).setdefault(cur_seg, []).append(
-                    float(off[k]) - left_off
-                )
-        # every path contains every chain anchor, so first_anchor_off is
-        # always set and no pending occurrence survives the loop
+        is_anchor = np.isin(ns, chain_arr)
+        ka = np.flatnonzero(is_anchor)
+        segidx = (
+            np.searchsorted(ka, np.arange(ns.size), side="right") - 1
+        ).astype(np.int64)
+        left = off[ka[np.clip(segidx, 0, ka.size - 1)]]
+        left = np.where(segidx >= 0, left, off[ka[0]])
+        keep = ~is_anchor
+        v_nid.append(ns[keep])
+        v_seg.append(segidx[keep])
+        v_rel.append((off - left).astype(np.float64)[keep])
 
     # resolve: majority segment, mean offset inside it (ties: smaller seg)
     segments: dict[int, list[tuple[float, int]]] = {}
     placed = set(chain)
-    for nid in graph.nodes:
-        if nid in placed:
-            continue
-        votes = seg_votes.get(nid)
-        if not votes:
-            continue  # not on any anchored path span; appended at the end
-        seg = max(votes, key=lambda s: (len(votes[s]), -s))
-        mean_off = float(np.mean(votes[seg]))
-        segments.setdefault(seg, []).append((mean_off, nid))
-        placed.add(nid)
+    if v_nid and sum(a.size for a in v_nid):
+        nid_all = np.concatenate(v_nid)
+        seg_all = np.concatenate(v_seg)
+        rel_all = np.concatenate(v_rel)
+        order = np.lexsort((seg_all, nid_all))
+        nid_s, seg_s, rel_s = nid_all[order], seg_all[order], rel_all[order]
+        grp = np.concatenate(
+            [[True], (nid_s[1:] != nid_s[:-1]) | (seg_s[1:] != seg_s[:-1])]
+        )
+        gidx = np.cumsum(grp) - 1
+        n_groups = int(gidx[-1]) + 1
+        g_cnt = np.bincount(gidx, minlength=n_groups)
+        g_sum = np.bincount(gidx, weights=rel_s, minlength=n_groups)
+        starts = np.flatnonzero(grp)
+        g_nid = nid_s[starts]
+        g_seg = seg_s[starts]
+        g_mean = g_sum / g_cnt
+        # winner per node: largest count, tie -> smaller segment
+        win = np.lexsort((g_seg, -g_cnt, g_nid))
+        first_of_nid = np.concatenate(
+            [[True], g_nid[win][1:] != g_nid[win][:-1]]
+        )
+        for i in win[first_of_nid]:
+            nid = int(g_nid[i])
+            if nid in placed:
+                continue
+            segments.setdefault(int(g_seg[i]), []).append((float(g_mean[i]), nid))
+            placed.add(nid)
 
     out: list[int] = []
     for mean_off, nid in sorted(segments.get(-1, [])):
