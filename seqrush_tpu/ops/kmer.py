@@ -137,9 +137,17 @@ def _cosine_distance_matrix(sketches: jnp.ndarray) -> jnp.ndarray:
 
 
 def kmer_distance_matrix(seq_codes: list[np.ndarray], k: int) -> np.ndarray:
-    """[n, n] cosine distance over k-mer sketches (one MXU matmul)."""
+    """[n, n] cosine distance over k-mer sketches (one MXU matmul).
+
+    Runs under ops/unionfind.compute_device: on a direct TPU the matmul
+    belongs on the MXU; over the axon tunnel a [n, dim] upload + compile
+    round trip costs more than host compute (measured r5: the 308-seq
+    tree schedule went 0.2 s CPU -> 9 s via the tunnel)."""
+    from .unionfind import compute_device
+
     sketches = kmer_sketches(seq_codes, k)
-    return np.asarray(_cosine_distance_matrix(jnp.asarray(sketches)))
+    with compute_device():
+        return np.asarray(_cosine_distance_matrix(jnp.asarray(sketches)))
 
 
 def mst_pairs(dist: np.ndarray) -> np.ndarray:
