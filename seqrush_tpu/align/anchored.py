@@ -126,7 +126,93 @@ def chain_jobs(al, wide_jobs, pairs) -> list:
     return runs_per_job
 
 
-def build_plan(al, job, pairs, pen, window_jobs: list, runs=None) -> WidePlan | None:
+def flank_trim_jobs(al, wide_jobs, pairs, runs_per_job):
+    """Precompute every job's gap flanks in one flat byte comparison.
+
+    For each job with usable runs, returns (pre, suf) int64 arrays over its
+    gap list — gap 0 is the head (before the first run), gap i+1 follows
+    run i, the last gap is the tail — exactly the order build_plan's window
+    loop visits them.  Values are bit-identical to _flank_match per gap
+    (randomized equivalence in tests/test_anchored_wide.py); the per-gap
+    Python walk cost ~15 s at 450k gaps on the tree workload.  Jobs with
+    empty runs map to None."""
+    n_jobs = len(wide_jobs)
+    qs, ts = [], []
+    qoff = np.zeros(n_jobs + 1, np.int64)
+    toff = np.zeros(n_jobs + 1, np.int64)
+    gq0l, gq1l, gt0l, gt1l, jobl = [], [], [], [], []
+    for w, ((p, rc, _b, _f), runs) in enumerate(zip(wide_jobs, runs_per_job)):
+        qi, tj = pairs[p]
+        q = al.rc_codes[qi] if rc else al.codes[qi]
+        t = al.codes[tj]
+        qs.append(q)
+        ts.append(t)
+        qoff[w + 1] = qoff[w] + q.size
+        toff[w + 1] = toff[w] + t.size
+        if not runs:
+            continue
+        ra = np.asarray(runs, np.int64).reshape(-1, 3)
+        gq0l.append(np.concatenate([[0], ra[:, 0] + ra[:, 2]]) + qoff[w])
+        gt0l.append(np.concatenate([[0], ra[:, 1] + ra[:, 2]]) + toff[w])
+        gq1l.append(np.concatenate([ra[:, 0], [q.size]]) + qoff[w])
+        gt1l.append(np.concatenate([ra[:, 1], [t.size]]) + toff[w])
+        jobl.append(np.full(ra.shape[0] + 1, w, np.int64))
+    out: list = [None] * n_jobs
+    if not jobl:
+        return out
+    qcat = np.concatenate(qs)
+    tcat = np.concatenate(ts)
+    gq0 = np.concatenate(gq0l)
+    gq1 = np.concatenate(gq1l)
+    gt0 = np.concatenate(gt0l)
+    gt1 = np.concatenate(gt1l)
+    jobs_of = np.concatenate(jobl)
+
+    m = np.maximum(np.minimum(gq1 - gq0, gt1 - gt0), 0)
+    # prefix: first mismatch within the m-wide head of the window
+    starts = np.cumsum(m) - m
+    total = int(m.sum())
+    pre = m.copy()
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, m)
+        neq = qcat[np.repeat(gq0, m) + within] != tcat[np.repeat(gt0, m) + within]
+        hits = np.flatnonzero(neq)
+        if hits.size:
+            hidx = np.searchsorted(hits, starts)
+            first_hit = hits[np.minimum(hidx, hits.size - 1)]
+            has = (hidx < hits.size) & (first_hit < starts + m)
+            pre = np.where(has, first_hit - starts, m)
+    # suffix: trailing matches of the remaining m2-wide tail
+    m2 = m - pre
+    starts2 = np.cumsum(m2) - m2
+    total2 = int(m2.sum())
+    suf = m2.copy()
+    if total2:
+        within2 = np.arange(total2, dtype=np.int64) - np.repeat(starts2, m2)
+        neq2 = (
+            qcat[np.repeat(gq1 - m2, m2) + within2]
+            != tcat[np.repeat(gt1 - m2, m2) + within2]
+        )
+        hits2 = np.flatnonzero(neq2)
+        if hits2.size:
+            lidx = np.searchsorted(hits2, starts2 + m2) - 1
+            last_hit = hits2[np.maximum(lidx, 0)]
+            has2 = (lidx >= 0) & (last_hit >= starts2)
+            suf = np.where(has2, starts2 + m2 - 1 - last_hit, m2)
+
+    grp_start = np.flatnonzero(
+        np.concatenate([[True], jobs_of[1:] != jobs_of[:-1]])
+    )
+    grp_end = np.append(grp_start[1:], jobs_of.size)
+    for s, e in zip(grp_start.tolist(), grp_end.tolist()):
+        out[int(jobs_of[s])] = (
+            pre[s:e].astype(np.int64),
+            suf[s:e].astype(np.int64),
+        )
+    return out
+
+
+def build_plan(al, job, pairs, pen, window_jobs: list, runs=None, flanks=None) -> WidePlan | None:
     """Chain one wide job and split it into parts; window jobs are appended
     to the shared ``window_jobs`` list (batched across all plans).  Returns
     None when no usable chain exists (caller falls back to the full wide
@@ -155,6 +241,7 @@ def build_plan(al, job, pairs, pen, window_jobs: list, runs=None) -> WidePlan | 
     plan = WidePlan(p, rc, band0, f32, q, t)
     budget = al.cfg.memory_budget_bytes
     jobs_start = len(window_jobs)
+    gap_cursor = [0]  # window-call ordinal; == flank-table row when provided
 
     def window(q0, q1, t0, t1):
         # greedy exact extension: minimizer sampling (w) leaves up to ~w
@@ -163,7 +250,12 @@ def build_plan(al, job, pairs, pen, window_jobs: list, runs=None) -> WidePlan | 
         # byte-verified flanks shrinks the core to host-resolvable size
         # (the same trust class as the chain anchors themselves; the
         # DP-oracle tests gate the stitched score either way).
-        pre, suf = _flank_match(q, t, q0, q1, t0, t1)
+        if flanks is not None:
+            g = gap_cursor[0]
+            pre, suf = int(flanks[0][g]), int(flanks[1][g])
+        else:
+            pre, suf = _flank_match(q, t, q0, q1, t0, t1)
+        gap_cursor[0] += 1
         if pre:
             plan.parts.append(("items", [(pre, "=")]))
             q0 += pre
@@ -469,20 +561,31 @@ def _collect_window_chunk(al, jobs, disp, pen, out, nxt):
             out[j] = items
 
 
-def stitch(plan: WidePlan, witems: list) -> list[tuple[int, str]]:
-    """Parts are internally coalesced run-length lists, so only the
-    boundary items can merge — extend beats per-item pushes ~10x."""
+def stitch(
+    plan: WidePlan, witems: list
+) -> tuple[list[tuple[int, str]], int, int]:
+    """Returns (items, consumed_q, consumed_t).  Parts are internally
+    coalesced run-length lists, so only the boundary items can merge —
+    extend beats per-item pushes ~10x.  The q/t consumption tallies ride
+    the same walk (a separate per-item sum pass cost ~4 s at tree-workload
+    scale)."""
     items: list[tuple[int, str]] = []
+    nq = nt = 0
     for kind, x in plan.parts:
         src = x if kind == "items" else witems[x]
         if not src:
             continue
+        for n, op in src:
+            if op != "D":
+                nq += n
+            if op != "I":
+                nt += n
         if items and items[-1][1] == src[0][1]:
             items[-1] = (items[-1][0] + src[0][0], src[0][1])
             items.extend(src[1:])
         else:
             items.extend(src)
-    return items
+    return items, nq, nt
 
 
 def cigar_cost(items, pen) -> int:

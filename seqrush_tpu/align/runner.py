@@ -800,9 +800,14 @@ class WfaAligner:
 
         plans, fallbacks, window_jobs = [], [], []
         runs_per_job = anchored.chain_jobs(self, wide_jobs, pairs)
-        for job, runs in zip(wide_jobs, runs_per_job):
+        flanks_per_job = anchored.flank_trim_jobs(
+            self, wide_jobs, pairs, runs_per_job
+        )
+        for job, runs, flanks in zip(wide_jobs, runs_per_job, flanks_per_job):
             self._anchored_tried.add((job[0], job[1]))
-            plan = anchored.build_plan(self, job, pairs, pen, window_jobs, runs=runs)
+            plan = anchored.build_plan(
+                self, job, pairs, pen, window_jobs, runs=runs, flanks=flanks
+            )
             if plan is None:
                 self.stats["anchored_fallbacks"] += 1
                 fallbacks.append(job)
@@ -829,11 +834,9 @@ class WfaAligner:
         verify_entries = []  # (plan, items, stitched_score, band_v)
         e_min, o_min = self._gap_mins()
         for plan in plans:
-            items = anchored.stitch(plan, witems)
+            items, nq, nt = anchored.stitch(plan, witems)
             s = anchored.cigar_cost(items, pen)
             qlen, tlen = plan.q.size, plan.t.size
-            nq = sum(n for n, op in items if op in "=XI")
-            nt = sum(n for n, op in items if op in "=XD")
             if nq != qlen or nt != tlen:
                 raise RuntimeError(
                     f"anchored stitch consumption mismatch: q {nq}/{qlen} "

@@ -97,14 +97,14 @@ def test_verify_falls_back_on_suboptimal_stitch(family, monkeypatch):
     real_stitch = anchored.stitch
 
     def bad_stitch(plan, witems):
-        items = real_stitch(plan, witems)
+        items, nq, nt = real_stitch(plan, witems)
         # corrupt: turn the first long match run into mismatches (same
         # consumption, strictly worse score)
         for i, (n, op) in enumerate(items):
             if op == "=" and n >= 20:
                 items = items[:i] + [(n, "X")] + items[i + 1 :]
                 break
-        return items
+        return items, nq, nt
 
     monkeypatch.setattr(anchored, "stitch", bad_stitch)
     al = WfaAligner(seqs, RunnerConfig(scores=SCORES, wide_verify=True))
@@ -283,3 +283,36 @@ def test_bulk_host_core_route_matches_device(family):
         o = by_pair_dev[(r.query_idx, r.target_idx)]
         assert r.score == o.score == oracle[(r.query_idx, r.target_idx)].score
         assert r.is_reverse == o.is_reverse
+
+
+def test_flank_trim_batch_matches_sequential():
+    """flank_trim_jobs (one flat comparison across all jobs' gaps) must be
+    bit-identical to per-gap _flank_match over randomized run layouts."""
+    from seqrush_tpu.align import anchored
+    from seqrush_tpu.align.runner import RunnerConfig, WfaAligner
+
+    rng = np.random.default_rng(31)
+    fam = synth_family(n_seqs=4, length=1500, seed=41)
+    seqs = make_sequence_set(fam)
+    al = WfaAligner(seqs, RunnerConfig(scores=SCORES))
+    pairs = np.array([[0, 1], [1, 2], [2, 3], [0, 3]])
+    jobs = [(p, bool(p % 2), 255, False) for p in range(len(pairs))]
+    runs_per_job = anchored.chain_jobs(al, jobs, pairs)
+    flanks = anchored.flank_trim_jobs(al, jobs, pairs, runs_per_job)
+    for (p, rc, _b, _f), runs, fl in zip(jobs, runs_per_job, flanks):
+        if not runs:
+            assert fl is None
+            continue
+        qi, tj = pairs[p]
+        q = al.rc_codes[qi] if rc else al.codes[qi]
+        t = al.codes[tj]
+        ra = np.asarray(runs, np.int64).reshape(-1, 3)
+        gq0 = np.concatenate([[0], ra[:, 0] + ra[:, 2]])
+        gt0 = np.concatenate([[0], ra[:, 1] + ra[:, 2]])
+        gq1 = np.concatenate([ra[:, 0], [q.size]])
+        gt1 = np.concatenate([ra[:, 1], [t.size]])
+        for g in range(gq0.size):
+            pre, suf = anchored._flank_match(
+                q, t, int(gq0[g]), int(gq1[g]), int(gt0[g]), int(gt1[g])
+            )
+            assert (int(fl[0][g]), int(fl[1][g])) == (pre, suf), (p, rc, g)
