@@ -189,6 +189,15 @@ class RunnerConfig:
     # programs are already cheap, and small inversion tests pin the direct
     # wide-band semantics)
     wide_min_len: int = 2048
+    # above this many wide jobs in one round, moderately-wide jobs go back
+    # to banded chunks instead of the anchored route: the piecewise path's
+    # host work (chain + flanks + window DP + stitch) costs ~1.9 ms/pair
+    # and scales per pair, while banded chunks amortize their serial steps
+    # across batch rows — measured r5 on the tree-sparsified workload
+    # (9.6k cross-family pairs: anchored host 18.3 s vs ~10-12 s of banded
+    # device cells).  Very wide (> 2*wide_band_threshold+1) or long pairs
+    # stay anchored at any count.  0 disables the cap.
+    anchored_max_jobs: int = 256
     # verify every stitched score against a score-only banded sweep at the
     # certified band (no traceback/walk); mismatches fall back to the full
     # wide route, making anchored results certified-exact end to end
@@ -658,6 +667,25 @@ class WfaAligner:
                     else:
                         rest.append(job)
                 queue = rest
+                cap = self.cfg.anchored_max_jobs
+                if cap and len(anchored_jobs) > cap:
+                    # saturation regime (measured r5, tree workload: 9.6k
+                    # moderately-wide cross-family pairs): banded chunks
+                    # amortize their serial steps across rows while the
+                    # piecewise route's host work scales per pair (~1.9
+                    # ms each) — keep anchored only the jobs the banded
+                    # path handles poorly (very wide bands, long pairs)
+                    keep, back = [], []
+                    for job in anchored_jobs:
+                        p, rc, band, _f32 = job
+                        qi, tj = pairs[p]
+                        big = band > 2 * self.cfg.wide_band_threshold + 1 or (
+                            self.codes[qi].size + self.codes[tj].size
+                            > self.cfg.long_pair_threshold
+                        )
+                        (keep if big else back).append(job)
+                    anchored_jobs = keep
+                    queue.extend(back)
             if self.cfg.mesh is not None:
                 # sequence parallelism: a pair whose traceback footprint
                 # exceeds one chip's budget routes through the lane-sharded

@@ -316,3 +316,24 @@ def test_flank_trim_batch_matches_sequential():
                 q, t, int(gq0[g]), int(gq1[g]), int(gt0[g]), int(gt1[g])
             )
             assert (int(fl[0][g]), int(fl[1][g])) == (pre, suf), (p, rc, g)
+
+
+def test_anchored_job_cap_routes_banded_and_stays_exact():
+    """Above anchored_max_jobs, moderately-wide jobs re-enter the banded
+    queue (saturation regime); results must match the uncapped anchored
+    route's scores exactly (both DP-exact)."""
+    fam = synth_family(n_seqs=4, length=2304, seed=11)
+    seqs = make_sequence_set(fam)
+    n = len(seqs)
+    pairs = np.array([[i, n - 1] for i in range(n - 1)] + [[n - 1, j] for j in range(n - 1)])
+    al_cap = WfaAligner(seqs, RunnerConfig(scores=SCORES, anchored_max_jobs=2))
+    res_cap = al_cap.align_pairs(pairs)
+    al_ref = WfaAligner(seqs, RunnerConfig(scores=SCORES, anchored_max_jobs=0))
+    res_ref = al_ref.align_pairs(pairs)
+    assert len(res_cap) == len(res_ref) == len(pairs)
+    by = {(r.query_idx, r.target_idx): r for r in res_ref}
+    for r in res_cap:
+        o = by[(r.query_idx, r.target_idx)]
+        assert r.score == o.score and r.is_reverse == o.is_reverse
+    # the cap actually diverted jobs (fewer anchored pairs than uncapped)
+    assert al_cap.stats["anchored_pairs"] < al_ref.stats["anchored_pairs"]
