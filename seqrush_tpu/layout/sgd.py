@@ -71,7 +71,7 @@ class PathSGDParams:
     # up to a power-of-two ladder so one compiled XLA program serves many
     # graph shapes; real sizes ride in as traced scalars and the sampling
     # only ever draws real indices, so results are bit-identical to the
-    # exact-shape program (tests/test_layout.py parity test).  Without this
+    # exact-shape program (tests/test_ygs.py parity test).  Without this
     # every previously-unseen FASTA pays a fresh SGD compile (~1 s CPU,
     # minutes over a tunneled TPU).
     bucket: bool = True
